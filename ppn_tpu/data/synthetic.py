@@ -1,0 +1,134 @@
+"""Synthetic pose dataset — deterministic random stick-figures.
+
+The reference's tests are visual-only against real MPII data (SURVEY.md §4);
+this offline environment has no MPII/COCO images, so the framework ships a
+synthetic generator that (a) powers the unit/overfit tests (SURVEY.md §7.4
+minimum slice) and (b) feeds the benchmark harness with realistic-shaped
+batches. Samples are pure-numpy and deterministic per (seed, index).
+"""
+
+from __future__ import annotations
+
+import colorsys
+from typing import Dict
+
+import numpy as np
+
+from ppn_tpu.configs.base import Config, PPNConfig
+
+
+def random_people(
+    rng: np.random.Generator,
+    cfg: PPNConfig,
+    max_persons: int,
+    num_persons: int | None = None,
+) -> Dict[str, np.ndarray]:
+    """Sample GT for one image: joints scattered inside a random person box.
+
+    Returns the (keypoints, visible, bboxes, valid) contract of
+    ops/encode.py, padded to `max_persons` slots.
+    """
+    K = cfg.num_keypoints
+    img_h, img_w = cfg.insize
+    P = max_persons
+    if num_persons is None:
+        num_persons = int(rng.integers(1, P + 1))
+    num_persons = min(num_persons, P)
+
+    keypoints = np.zeros((P, K, 2), np.float32)
+    visible = np.zeros((P, K), bool)
+    bboxes = np.zeros((P, 4), np.float32)
+    valid = np.zeros((P,), bool)
+
+    for p in range(num_persons):
+        side = rng.uniform(0.25, 0.6) * min(img_h, img_w)
+        cx = rng.uniform(side / 2, img_w - side / 2)
+        cy = rng.uniform(side / 2, img_h - side / 2)
+        w = side * rng.uniform(0.6, 1.0)
+        h = side
+        pts = np.stack(
+            [rng.uniform(cx - w / 2, cx + w / 2, size=K),
+             rng.uniform(cy - h / 2, cy + h / 2, size=K)], axis=-1)
+        vis = rng.random(K) < 0.85
+        if not vis.any():
+            vis[int(rng.integers(K))] = True
+        # Tight person box around visible joints, padded 10%.
+        vpts = pts[vis]
+        x0, y0 = vpts.min(axis=0)
+        x1, y1 = vpts.max(axis=0)
+        bw = max(x1 - x0, 8.0) * 1.1
+        bh = max(y1 - y0, 8.0) * 1.1
+        bcx, bcy = (x0 + x1) / 2, (y0 + y1) / 2
+
+        keypoints[p] = pts
+        visible[p] = vis
+        bboxes[p] = (bcx, bcy, bw, bh)
+        valid[p] = True
+
+    return {
+        "keypoints": keypoints,
+        "visible": visible,
+        "bboxes": bboxes,
+        "valid": valid,
+    }
+
+
+def _class_colors(k: int) -> np.ndarray:
+    """K visually-distinct RGB colors in [0,1]."""
+    return np.asarray(
+        [colorsys.hsv_to_rgb(i / max(k, 1), 1.0, 1.0) for i in range(k)],
+        np.float32)
+
+
+def render(cfg: PPNConfig, sample: Dict[str, np.ndarray]) -> np.ndarray:
+    """Render GT as an image a small convnet can learn from: a faint filled
+    person box plus one color-coded disk per visible joint."""
+    img_h, img_w = cfg.insize
+    K = cfg.num_keypoints
+    img = np.zeros((img_h, img_w, 3), np.float32)
+    colors = _class_colors(K)
+    yy, xx = np.mgrid[0:img_h, 0:img_w].astype(np.float32)
+
+    for p in range(sample["valid"].shape[0]):
+        if not sample["valid"][p]:
+            continue
+        bcx, bcy, bw, bh = sample["bboxes"][p]
+        inside = ((np.abs(xx - bcx) < bw / 2) &
+                  (np.abs(yy - bcy) < bh / 2))
+        img[inside] += 0.15
+        radius = 0.5 * cfg.parts_scale * float(np.hypot(bw, bh))
+        radius = max(radius, 3.0)
+        for k in range(K):
+            if not sample["visible"][p, k]:
+                continue
+            x, y = sample["keypoints"][p, k]
+            disk = (xx - x) ** 2 + (yy - y) ** 2 < radius ** 2
+            img[disk] = colors[k]
+    return np.clip(img, 0.0, 1.0)
+
+
+class SyntheticPoseDataset:
+    """Map-style dataset yielding (image, gt-dict); deterministic per index.
+
+    Drop-in source for the grain host pipeline (data/pipeline.py) — the
+    TPU-native analog of the reference's ``torch.utils.data.Dataset``
+    (ref:dataset.py†, SURVEY.md §2.1).
+    """
+
+    def __init__(self, cfg: Config, size: int = 1024, seed: int = 0,
+                 num_persons: int | None = None):
+        self.cfg = cfg
+        self.size = size
+        self.seed = seed
+        self.num_persons = num_persons
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, idx % self.size]))
+        sample = random_people(
+            rng, self.cfg.model, self.cfg.data.max_persons, self.num_persons)
+        sample["image"] = render(self.cfg.model, sample)
+        return sample
