@@ -1,3 +1,3 @@
-from ppn_tpu.ops import boxes, decode, encode
+from ppn_tpu.ops import boxes, decode, encode, nms, parse, postprocess
 
-__all__ = ["boxes", "decode", "encode"]
+__all__ = ["boxes", "decode", "encode", "nms", "parse", "postprocess"]

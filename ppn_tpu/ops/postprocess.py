@@ -1,0 +1,35 @@
+"""Full on-device post-processing pipeline: feature map → parsed People.
+
+This is the TPU-native ``get_humans_by_feature`` (ref:predict.py†,
+SURVEY.md §3.2): decode → per-class NMS → greedy limb assembly, all jitted
+with static shapes so JPEG-to-poses never leaves the device (BASELINE
+north-star).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from ppn_tpu.configs.base import PPNConfig
+from ppn_tpu.ops import decode as dec
+from ppn_tpu.ops import nms as nmsops
+from ppn_tpu.ops import parse as parseops
+from ppn_tpu.ops.parse import People
+
+
+@partial(jax.jit, static_argnums=0)
+def postprocess_single(cfg: PPNConfig, feature_map) -> People:
+    """(H', W', C) feature map → People for one image."""
+    act, props = dec.decode(cfg, feature_map)
+    nms = nmsops.nms_single(cfg, props)
+    return parseops.parse_single(cfg, act, props, nms)
+
+
+@partial(jax.jit, static_argnums=0)
+def postprocess_batch(cfg: PPNConfig, feature_map) -> People:
+    """(B, H', W', C) feature map → batched People."""
+    act, props = dec.decode(cfg, feature_map)
+    nms = nmsops.nms_batch(cfg, props)
+    return parseops.parse_batch(cfg, act, props, nms)

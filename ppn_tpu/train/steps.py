@@ -1,0 +1,166 @@
+"""Jitted train/eval steps — the hot loop of ref:train.py† (SURVEY.md §3.1),
+rebuilt as pure SPMD functions.
+
+Differences from the reference's loop, by design:
+* Target-grid encoding runs **inside** the jitted step on device (the
+  reference does it in DataLoader workers on CPU; BASELINE mandates fused
+  on-device preprocessing).
+* The model is split into (graphdef, params, rest) via flax.nnx so the step
+  is a pure function: params get gradients, `rest` carries BatchNorm running
+  stats forward.
+* Under a `data`-axis mesh the same jitted function is the multi-chip
+  data-parallel step — XLA inserts the gradient all-reduce (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+from ppn_tpu.configs.base import Config
+from ppn_tpu.nn.model import PoseProposalNet
+from ppn_tpu.ops import encode as enc
+from ppn_tpu.train.loss import ppn_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Pytree train state (params/batch-stats/optimizer/step)."""
+
+    params: Any
+    rest: Any          # BatchNorm running stats + any other non-diff state
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        sched = optax.constant_schedule(t.learning_rate)
+    elif t.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=t.learning_rate,
+            warmup_steps=t.warmup_steps,
+            decay_steps=max(t.num_steps, t.warmup_steps + 1))
+    elif t.lr_schedule == "step":
+        sched = optax.piecewise_constant_schedule(
+            t.learning_rate,
+            {int(t.num_steps * 0.6): 0.1, int(t.num_steps * 0.85): 0.1})
+    else:
+        raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+    if t.warmup_steps and t.lr_schedule != "cosine":
+        warmup = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+        sched = optax.join_schedules([warmup, sched], [t.warmup_steps])
+    return sched
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """SGD-momentum + decoupled weight decay on matrix/conv kernels only
+    (lineage defaults, ref:train.py†; SURVEY.md §2.1 Train-loop row)."""
+    sched = make_lr_schedule(cfg)
+
+    def decay_mask(params):
+        return jax.tree.map(lambda p: p.ndim > 1, params)
+
+    return optax.chain(
+        optax.add_decayed_weights(cfg.train.weight_decay, mask=decay_mask),
+        optax.sgd(sched, momentum=cfg.train.momentum, nesterov=False),
+    )
+
+
+def create_model(cfg: Config, seed: int | None = None) -> PoseProposalNet:
+    seed = cfg.train.seed if seed is None else seed
+    dtype = jnp.bfloat16 if cfg.train.dtype == "bfloat16" else jnp.float32
+    model = PoseProposalNet(cfg.model, dtype=dtype, rngs=nnx.Rngs(seed))
+    model.train()
+    return model
+
+
+def create_train_state(
+    cfg: Config, seed: int | None = None
+) -> Tuple[nnx.GraphDef, TrainState, optax.GradientTransformation]:
+    model = create_model(cfg, seed)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    return graphdef, TrainState(params=params, rest=rest,
+                                opt_state=opt_state,
+                                step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(
+    cfg: Config,
+    graphdef: nnx.GraphDef,
+    tx: optax.GradientTransformation,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
+              Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted SPMD train step.
+
+    `batch` keys: image (B,H,W,3) f32 in [0,1], keypoints (B,P,K,2),
+    visible (B,P,K), bboxes (B,P,4), valid (B,P) — all shardable on dim 0.
+    """
+    m = cfg.model
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        targets = enc.encode_batch(m, batch["keypoints"], batch["visible"],
+                                   batch["bboxes"], batch["valid"])
+
+        def loss_fn(params):
+            # Re-box the non-diff state at this trace level: BatchNorm will
+            # mutate these Variables inside the grad trace, and flax forbids
+            # mutating Variables created at an outer trace.
+            rest = jax.tree.map(lambda x: x, state.rest)
+            model = nnx.merge(graphdef, params, rest)
+            fm = model(batch["image"])
+            total, terms = ppn_loss(m, fm, targets)
+            _, _, new_rest = nnx.split(model, nnx.Param, ...)
+            return total, (terms, new_rest)
+
+        (_, (terms, new_rest)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, rest=new_rest,
+                               opt_state=new_opt, step=state.step + 1)
+        terms = dict(terms)
+        terms["grad_norm"] = optax.global_norm(grads)
+        return new_state, terms
+
+    return train_step
+
+
+def make_eval_loss_step(cfg: Config, graphdef: nnx.GraphDef):
+    """Loss-only eval step (running-average BN, no state mutation)."""
+    m = cfg.model
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        targets = enc.encode_batch(m, batch["keypoints"], batch["visible"],
+                                   batch["bboxes"], batch["valid"])
+        model = nnx.merge(graphdef, state.params, state.rest)
+        model.eval()
+        fm = model(batch["image"])
+        _, terms = ppn_loss(m, fm, targets)
+        return terms
+
+    return eval_step
+
+
+def make_forward(cfg: Config, graphdef: nnx.GraphDef):
+    """Inference forward: images → float32 feature map (eval-mode BN)."""
+
+    @jax.jit
+    def forward(state: TrainState, images):
+        model = nnx.merge(graphdef, state.params, state.rest)
+        model.eval()
+        return model(images)
+
+    return forward
