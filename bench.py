@@ -1,0 +1,74 @@
+"""Benchmark harness — BASELINE config #2-style batched inference throughput.
+
+Measures steady-state images/sec/chip for the flagship pipeline: ResNet-18
+forward + on-device decode + per-class NMS + greedy limb parsing, all inside
+one jitted function (images resident on device, as a serving loop would keep
+them after on-device preprocessing).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline = value / 500 (the ≥500 img/s/chip BASELINE.json target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from flax import nnx
+
+    from ppn_tpu.configs import get_config
+    from ppn_tpu.ops import postprocess as post
+    from ppn_tpu.train import steps as st
+
+    cfg = get_config("mpii_r18_384")
+    batch = 32
+
+    model = st.create_model(cfg)
+    model.eval()
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+
+    @jax.jit
+    def pipeline(params, rest, images):
+        m = nnx.merge(graphdef, params, rest)
+        fm = m(images)
+        people = post.postprocess_batch_fn(cfg.model, fm)
+        return people.kp_box, people.kp_score, people.valid
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.random((batch, *cfg.model.insize, 3), np.float32))
+
+    # Warmup / compile.
+    out = pipeline(params, rest, images)
+    jax.block_until_ready(out)
+    jax.device_get(out[2])
+
+    # Steady state: chain iters calls, fetch a small leaf to synchronize.
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipeline(params, rest, images)
+        jax.block_until_ready(out)
+        jax.device_get(out[2])
+        return time.perf_counter() - t0
+
+    timed(3)  # settle
+    iters = 30
+    t = min(timed(iters) for _ in range(3))
+    ips = batch * iters / t
+
+    print(json.dumps({
+        "metric": "inference_images_per_sec_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

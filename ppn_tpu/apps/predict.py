@@ -1,0 +1,114 @@
+"""Single-image inference CLI — ref:predict.py† (SURVEY.md §3.2).
+
+Loads a checkpoint, preprocesses one image (file or synthetic index),
+runs forward + on-device decode/NMS/parse, prints poses as JSON and
+optionally writes a visualization.
+
+Example:
+    python -m ppn_tpu.apps.predict --config tiny_test \
+        --ckpt-dir /tmp/ppn_ckpt --synthetic 0 --out /tmp/pose.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs import get_config
+
+
+def load_state(cfg, ckpt_dir=None):
+    """(graphdef, state): restored from ckpt_dir if given, else fresh init."""
+    import dataclasses
+
+    from ppn_tpu.train import steps as st
+    from ppn_tpu.train.checkpoint import Checkpointer
+
+    if ckpt_dir:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           checkpoint_dir=ckpt_dir))
+    graphdef, state, _ = st.create_train_state(cfg)
+    if ckpt_dir:
+        ck = Checkpointer(ckpt_dir)
+        restored = ck.restore_latest(jax.device_get(state))
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        step, state = restored
+        print(f"loaded checkpoint step {step}")
+    return graphdef, state
+
+
+def load_image(cfg, args) -> np.ndarray:
+    """(H, W, 3) float32 [0,1] at the network input size."""
+    if args.synthetic is not None:
+        from ppn_tpu.data.synthetic import SyntheticPoseDataset
+
+        ds = SyntheticPoseDataset(cfg, size=max(args.synthetic + 1, 1),
+                                  seed=11)
+        return ds[args.synthetic]["image"]
+    from PIL import Image
+
+    img = Image.open(args.image).convert("RGB")
+    img = img.resize((cfg.model.insize[1], cfg.model.insize[0]),
+                     Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def people_to_json(cfg, people) -> list:
+    out = []
+    kp_box = np.asarray(people.kp_box)
+    kp_valid = np.asarray(people.kp_valid)
+    kp_score = np.asarray(people.kp_score)
+    for p in range(np.asarray(people.valid).shape[0]):
+        if not np.asarray(people.valid)[p]:
+            continue
+        person = {"score": float(kp_score[p, 0]),
+                  "instance_box": [round(float(v), 2) for v in kp_box[p, 0]],
+                  "keypoints": {}}
+        for c in range(1, cfg.model.num_classes):
+            if kp_valid[p, c]:
+                person["keypoints"][cfg.model.keypoint_names[c]] = {
+                    "xy": [round(float(kp_box[p, c, 0]), 2),
+                           round(float(kp_box[p, c, 1]), 2)],
+                    "score": round(float(kp_score[p, c]), 4)}
+        out.append(person)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PPN single-image inference")
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--image", default=None)
+    p.add_argument("--synthetic", type=int, default=None,
+                   help="use synthetic sample N instead of --image")
+    p.add_argument("--out", default=None, help="write visualization PNG")
+    args = p.parse_args(argv)
+    if (args.image is None) == (args.synthetic is None):
+        p.error("exactly one of --image / --synthetic is required")
+
+    cfg = get_config(args.config)
+    from ppn_tpu.ops import postprocess as post
+    from ppn_tpu.train import steps as st
+
+    graphdef, state = load_state(cfg, args.ckpt_dir)
+    image = load_image(cfg, args)
+    forward = st.make_forward(cfg, graphdef)
+    fm = forward(state, image[None])
+    people = post.postprocess_single(cfg.model, fm[0])
+    people = jax.device_get(people)
+
+    print(json.dumps(people_to_json(cfg, people), indent=1))
+    if args.out:
+        from ppn_tpu.utils.draw import draw_people
+
+        draw_people(cfg.model, image, people).save(args.out)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Training CLI — the ``python train.py`` surface of the reference
+(ref:train.py†, SURVEY.md §3.1), rebuilt TPU-native.
+
+Examples:
+    python -m ppn_tpu.apps.train --config tiny_test --data synthetic \
+        --steps 200 --overfit 8
+    python -m ppn_tpu.apps.train --config mpii_r18_384 --data mpii \
+        --data-root /data/mpii
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ppn_tpu.configs import get_config
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a Pose Proposal Network")
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--data", default="synthetic",
+                   choices=["synthetic", "mpii", "coco"])
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--overfit", type=int, default=None, metavar="N",
+                   help="restrict training to N fixed samples "
+                        "(the SURVEY.md §7.4 minimum slice)")
+    p.add_argument("--eval-every", type=int, default=None)
+    return p
+
+
+def make_datasets(cfg, args):
+    """Returns (train_dataset, val_dataset)."""
+    if args.data == "synthetic":
+        from ppn_tpu.data.synthetic import SyntheticPoseDataset
+
+        n = args.overfit or 1024
+        train = SyntheticPoseDataset(cfg, size=n, seed=cfg.train.seed)
+        val = (train if args.overfit
+               else SyntheticPoseDataset(cfg, size=128, seed=10_000))
+        return train, val
+    if args.data == "mpii":
+        from ppn_tpu.data.mpii import make_mpii_datasets
+
+        return make_mpii_datasets(cfg, args.data_root or cfg.data.root,
+                                  overfit=args.overfit)
+    if args.data == "coco":
+        from ppn_tpu.data.coco import make_coco_datasets
+
+        return make_coco_datasets(cfg, args.data_root or cfg.data.root,
+                                  overfit=args.overfit)
+    raise ValueError(args.data)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = get_config(args.config)
+
+    tr = cfg.train
+    updates = {}
+    if args.steps is not None:
+        updates["num_steps"] = args.steps
+    if args.batch_size is not None:
+        updates["batch_size"] = args.batch_size
+    if args.lr is not None:
+        updates["learning_rate"] = args.lr
+    if args.seed is not None:
+        updates["seed"] = args.seed
+    if args.ckpt_dir is not None:
+        updates["checkpoint_dir"] = args.ckpt_dir
+    if args.no_resume:
+        updates["resume"] = False
+    if args.eval_every is not None:
+        updates["eval_every"] = args.eval_every
+    if updates:
+        tr = dataclasses.replace(tr, **updates)
+        cfg = dataclasses.replace(cfg, train=tr)
+
+    from ppn_tpu.data.pipeline import infinite_batches
+    from ppn_tpu.train.trainer import Trainer
+
+    train_ds, val_ds = make_datasets(cfg, args)
+    batches = infinite_batches(train_ds, cfg.train.batch_size,
+                               seed=cfg.train.seed)
+    trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir)
+    try:
+        final = trainer.run()
+        print("final:", {k: round(v, 4) for k, v in final.items()})
+        if val_ds is not None:
+            print("eval:", {k: round(v, 4)
+                            for k, v in trainer.evaluate().items()})
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,10 @@
 """Full on-device post-processing pipeline: feature map → parsed People.
 
 This is the TPU-native ``get_humans_by_feature`` (ref:predict.py†,
-SURVEY.md §3.2): decode → per-class NMS → greedy limb assembly, all jitted
+SURVEY.md §3.2): decode → per-class NMS → greedy limb assembly, all jittable
 with static shapes so JPEG-to-poses never leaves the device (BASELINE
-north-star).
+north-star). ``postprocess_*_fn`` are the unjitted bodies for composing into
+larger jitted pipelines; the bare names are jitted conveniences.
 """
 
 from __future__ import annotations
@@ -19,17 +20,19 @@ from ppn_tpu.ops import parse as parseops
 from ppn_tpu.ops.parse import People
 
 
-@partial(jax.jit, static_argnums=0)
-def postprocess_single(cfg: PPNConfig, feature_map) -> People:
-    """(H', W', C) feature map → People for one image."""
+def postprocess_single_fn(cfg: PPNConfig, feature_map) -> People:
+    """(H', W', C) feature map → People for one image (composable body)."""
     act, props = dec.decode(cfg, feature_map)
     nms = nmsops.nms_single(cfg, props)
     return parseops.parse_single(cfg, act, props, nms)
 
 
-@partial(jax.jit, static_argnums=0)
-def postprocess_batch(cfg: PPNConfig, feature_map) -> People:
-    """(B, H', W', C) feature map → batched People."""
+def postprocess_batch_fn(cfg: PPNConfig, feature_map) -> People:
+    """(B, H', W', C) feature map → batched People (composable body)."""
     act, props = dec.decode(cfg, feature_map)
     nms = nmsops.nms_batch(cfg, props)
     return parseops.parse_batch(cfg, act, props, nms)
+
+
+postprocess_single = partial(jax.jit, static_argnums=0)(postprocess_single_fn)
+postprocess_batch = partial(jax.jit, static_argnums=0)(postprocess_batch_fn)

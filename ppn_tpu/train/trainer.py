@@ -1,0 +1,122 @@
+"""Trainer: the orchestration loop of ref:train.py† (SURVEY.md §3.1),
+TPU-native — sharded batches over a data mesh, async Orbax checkpoints,
+JSONL metrics, periodic PCKh eval."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs.base import Config
+from ppn_tpu.eval.pckh import PCKhEvaluator, headsize_from_bbox
+from ppn_tpu.ops import postprocess as post
+from ppn_tpu.parallel import make_mesh, replicate, shard_batch
+from ppn_tpu.train import steps as st
+from ppn_tpu.train.checkpoint import Checkpointer
+from ppn_tpu.utils.logging import MetricLogger
+
+
+def synthetic_headsizes(bboxes: np.ndarray) -> np.ndarray:
+    """Pseudo head-segment size for synthetic data: the keypoint-box scale
+    (0.2 · instance diagonal), keeping PCKh thresholds meaningful."""
+    return 0.2 * np.hypot(bboxes[..., 2], bboxes[..., 3])
+
+
+class Trainer:
+    def __init__(self, cfg: Config,
+                 train_batches: Iterator[Dict[str, np.ndarray]],
+                 val_dataset=None,
+                 logdir: Optional[str] = None,
+                 use_mesh: bool = True):
+        self.cfg = cfg
+        self.batches = train_batches
+        self.val_dataset = val_dataset
+        self.logger = MetricLogger(logdir)
+
+        self.mesh = make_mesh(cfg.train.mesh_shape,
+                              cfg.train.mesh_axes) if use_mesh else None
+        self.graphdef, state, self.tx = st.create_train_state(cfg)
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        self.state = state
+        self.train_step = st.make_train_step(cfg, self.graphdef, self.tx)
+        self.forward = st.make_forward(cfg, self.graphdef)
+
+        self.ckpt = Checkpointer(cfg.train.checkpoint_dir)
+        if cfg.train.resume:
+            restored = self.ckpt.restore_latest(jax.device_get(self.state))
+            if restored is not None:
+                step, rstate = restored
+                self.state = (replicate(self.mesh, rstate)
+                              if self.mesh is not None else rstate)
+                print(f"resumed from checkpoint at step {step}")
+
+    @property
+    def step(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    def run(self, num_steps: Optional[int] = None) -> Dict[str, float]:
+        t = self.cfg.train
+        target = num_steps if num_steps is not None else t.num_steps
+        terms = {}
+        t_last = time.time()
+        imgs = 0
+        while self.step < target:
+            batch = next(self.batches)
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, {
+                    k: batch[k] for k in
+                    ("image", "keypoints", "visible", "bboxes", "valid")})
+            self.state, terms = self.train_step(self.state, batch)
+            imgs += batch["image"].shape[0]
+            step = self.step
+            if step % t.log_every == 0:
+                logs = {k: float(v) for k, v in jax.device_get(terms).items()}
+                dt = time.time() - t_last
+                logs["images_per_sec"] = imgs / max(dt, 1e-9)
+                self.logger.log(step, logs)
+                t_last, imgs = time.time(), 0
+            if t.checkpoint_every and step % t.checkpoint_every == 0:
+                self.ckpt.save(step, jax.device_get(self.state))
+            if (t.eval_every and self.val_dataset is not None
+                    and step % t.eval_every == 0):
+                self.logger.log(step, self.evaluate())
+        self.ckpt.save(self.step, jax.device_get(self.state))
+        self.ckpt.wait()
+        return {k: float(v) for k, v in jax.device_get(terms).items()}
+
+    def evaluate(self, max_images: int = 256,
+                 batch_size: Optional[int] = None) -> Dict[str, float]:
+        """PCKh@0.5 over (a slice of) the validation set (SURVEY.md §3.4)."""
+        from ppn_tpu.data.pipeline import epoch_batches
+
+        if self.val_dataset is None:
+            return {}
+        bs = batch_size or min(self.cfg.train.batch_size, 8)
+        ev = PCKhEvaluator(self.cfg.model)
+        seen = 0
+        rng = np.random.default_rng(0)
+        for batch in epoch_batches(self.val_dataset, bs, rng=rng,
+                                   shuffle=False):
+            fm = self.forward(self.state, batch["image"])
+            people = post.postprocess_batch(self.cfg.model, fm)
+            people_np = jax.device_get(people)
+            for i in range(batch["image"].shape[0]):
+                one = jax.tree.map(lambda x: x[i], people_np)
+                hs = (batch["headsizes"][i]
+                      if "headsizes" in batch else
+                      synthetic_headsizes(batch["bboxes"][i]))
+                ev.add_image(one, batch["keypoints"][i],
+                             batch["visible"][i], batch["bboxes"][i],
+                             batch["valid"][i], hs)
+            seen += batch["image"].shape[0]
+            if seen >= max_images:
+                break
+        return ev.summarize()
+
+    def close(self):
+        self.ckpt.close()
+        self.logger.close()

@@ -1,0 +1,3 @@
+from ppn_tpu.utils.logging import MetricLogger
+
+__all__ = ["MetricLogger"]
