@@ -1,0 +1,73 @@
+"""Evaluation CLI — PCKh@0.5 over a validation set (SURVEY.md §3.4).
+
+Example:
+    python -m ppn_tpu.apps.evaluate --config tiny_test \
+        --ckpt-dir /tmp/ppn_ckpt --data synthetic --max-images 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs import get_config
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PPN PCKh evaluation")
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--data", default="synthetic",
+                   choices=["synthetic", "mpii", "coco"])
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--max-images", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    from ppn_tpu.apps.predict import load_state
+    from ppn_tpu.apps.train import make_datasets
+    from ppn_tpu.data.pipeline import epoch_batches
+    from ppn_tpu.eval.pckh import PCKhEvaluator
+    from ppn_tpu.ops import postprocess as post
+    from ppn_tpu.train import steps as st
+    from ppn_tpu.train.trainer import synthetic_headsizes
+
+    class _A:
+        data = args.data
+        data_root = args.data_root
+        overfit = None
+
+    _, val = make_datasets(cfg, _A)
+    if val is None:
+        raise SystemExit("no validation split available")
+
+    graphdef, state = load_state(cfg, args.ckpt_dir)
+    forward = st.make_forward(cfg, graphdef)
+
+    ev = PCKhEvaluator(cfg.model)
+    seen = 0
+    for batch in epoch_batches(val, args.batch_size,
+                               rng=np.random.default_rng(0), shuffle=False):
+        fm = forward(state, batch["image"])
+        people = jax.device_get(
+            post.postprocess_batch(cfg.model, fm))
+        for i in range(batch["image"].shape[0]):
+            one = jax.tree.map(lambda x: x[i], people)
+            hs = (batch["headsizes"][i] if "headsizes" in batch
+                  else synthetic_headsizes(batch["bboxes"][i]))
+            ev.add_image(one, batch["keypoints"][i], batch["visible"][i],
+                         batch["bboxes"][i], batch["valid"][i], hs)
+        seen += batch["image"].shape[0]
+        if seen >= args.max_images:
+            break
+
+    print(json.dumps({k: round(v, 4) for k, v in ev.summarize().items()},
+                     indent=1))
+
+
+if __name__ == "__main__":
+    main()

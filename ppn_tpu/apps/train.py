@@ -89,7 +89,10 @@ def main(argv=None):
     train_ds, val_ds = make_datasets(cfg, args)
     batches = infinite_batches(train_ds, cfg.train.batch_size,
                                seed=cfg.train.seed)
-    trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir)
+    # --overfit memorizes fixed samples; augmentation would defeat that.
+    augment = False if args.overfit else None
+    trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir,
+                      augment=augment)
     try:
         final = trainer.run()
         print("final:", {k: round(v, 4) for k, v in final.items()})

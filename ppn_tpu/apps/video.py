@@ -1,0 +1,171 @@
+"""Realtime / streaming video pose CLI — ref:high_speed.py† (SURVEY.md §3.3).
+
+Capture thread + latest-frame inference loop, with resize/normalize fused on
+device (BASELINE config #5: streaming 720p). Sources:
+
+* ``--source cam`` / ``--source <video-file>`` (OpenCV capture)
+* ``--source synthetic`` — deterministic generated 720p frames, so the
+  latency path is drivable offline and in CI.
+
+Reports p50/p90 end-to-end latency (frame-in-hand → parsed poses on host)
+and FPS — the BASELINE.json p50 metric.
+
+Example:
+    python -m ppn_tpu.apps.video --config mpii_r18_384 --source synthetic \
+        --frames 64 --out /tmp/video_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs import get_config
+
+
+def make_video_pipeline(cfg, graphdef):
+    """Jitted uint8 frame (H0, W0, 3) → parsed People (on-device resize)."""
+    from flax import nnx
+
+    from ppn_tpu.ops import postprocess as post
+    from ppn_tpu.ops.image import resize_bilinear
+
+    @jax.jit
+    def run(state, frame_u8):
+        img = frame_u8.astype(np.float32) / 255.0
+        img = resize_bilinear(img, cfg.model.insize)
+        model = nnx.merge(graphdef, state.params, state.rest)
+        model.eval()
+        fm = model(img[None])
+        return post.postprocess_single_fn(cfg.model, fm[0])
+
+    return run
+
+
+def synthetic_frames(n: int, size=(720, 1280), seed: int = 0):
+    """Deterministic 720p frames with a moving stick figure."""
+    from ppn_tpu.data.synthetic import SyntheticPoseDataset
+    from ppn_tpu.configs.base import PPNConfig
+    import dataclasses
+
+    from ppn_tpu.configs import get_config as gc
+
+    cfg = gc("mpii_r18_384")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, insize=size,
+                                       outsize=(size[0] // 32,
+                                                size[1] // 32)))
+    ds = SyntheticPoseDataset(cfg, size=n, seed=seed, num_persons=2)
+    for i in range(n):
+        yield (ds[i]["image"] * 255).astype(np.uint8)
+
+
+def capture_frames(source: str):
+    import cv2
+
+    cap = cv2.VideoCapture(0 if source == "cam" else source)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video source {source!r}")
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        yield frame[..., ::-1]  # BGR → RGB
+    cap.release()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PPN streaming video pose")
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--source", default="synthetic",
+                   help="'synthetic', 'cam', or a video file path")
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--out", default=None,
+                   help="directory for annotated frames (PNG)")
+    p.add_argument("--json", action="store_true",
+                   help="print latency summary as one JSON line")
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    from ppn_tpu.apps.predict import load_state
+    from ppn_tpu.utils.draw import draw_people
+
+    graphdef, state = load_state(cfg, args.ckpt_dir)
+    pipeline = make_video_pipeline(cfg, graphdef)
+
+    if args.source == "synthetic":
+        frames = synthetic_frames(args.frames)
+    else:
+        frames = capture_frames(args.source)
+
+    # Capture thread feeding a latest-frame slot (drop stale frames), the
+    # reference's capture-thread pattern (SURVEY.md §3.3).
+    slot: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=1)
+    done = threading.Event()
+
+    def producer():
+        for f in frames:
+            try:
+                slot.get_nowait()          # drop stale
+            except queue.Empty:
+                pass
+            slot.put(f)
+        done.set()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    latencies = []
+    n = 0
+    t_start = time.perf_counter()
+    if args.out:
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+    while not (done.is_set() and slot.empty()):
+        try:
+            frame = slot.get(timeout=0.5)
+        except queue.Empty:
+            continue
+        t0 = time.perf_counter()
+        people = pipeline(state, frame)
+        people = jax.device_get(people)    # poses on host = end of pipeline
+        lat = time.perf_counter() - t0
+        latencies.append(lat)
+        if args.out and n < 8:
+            small = frame.astype(np.float32) / 255.0
+            # draw in the frame's own coordinate system by rescaling boxes
+            scale = np.array([frame.shape[1] / cfg.model.insize[1],
+                              frame.shape[0] / cfg.model.insize[0],
+                              frame.shape[1] / cfg.model.insize[1],
+                              frame.shape[0] / cfg.model.insize[0]],
+                             np.float32)
+            people = people._replace(kp_box=people.kp_box * scale)
+            draw_people(cfg.model, small, people).save(
+                f"{args.out}/frame_{n:04d}.png")
+        n += 1
+    wall = time.perf_counter() - t_start
+
+    lat = np.asarray(latencies[3:] or latencies)  # skip warmup/compile
+    summary = {
+        "frames": n,
+        "fps": round(n / wall, 2),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "p90_ms": round(float(np.percentile(lat, 90)) * 1000, 2),
+    }
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        print(f"{n} frames, {summary['fps']} fps, "
+              f"p50 {summary['p50_ms']} ms, p90 {summary['p90_ms']} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -239,6 +239,7 @@ class DataConfig:
     val_split: str = "val"
     max_persons: int = 12              # static P slots per image
     # Augmentation ranges (ref:dataset.py† lineage defaults).
+    augment: bool = True
     rotate_deg: float = 40.0
     scale_min: float = 0.7
     scale_max: float = 1.3

@@ -36,8 +36,15 @@ class Checkpointer:
         step = self.mngr.latest_step()
         if step is None:
             return None
-        restored = self.mngr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self.mngr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except Exception as e:  # orbax raises various types on tree diffs
+            raise RuntimeError(
+                f"checkpoint at step {step} does not match the current "
+                "TrainState structure (saved by an older framework "
+                "version?); delete the checkpoint dir or pass "
+                "resume=False") from e
         return step, restored
 
     def wait(self) -> None:

@@ -38,6 +38,7 @@ class TrainState:
     rest: Any          # BatchNorm running stats + any other non-diff state
     opt_state: Any
     step: jnp.ndarray
+    rng: jnp.ndarray   # PRNG key driving on-device augmentation
 
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
@@ -90,26 +91,39 @@ def create_train_state(
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
     return graphdef, TrainState(params=params, rest=rest,
                                 opt_state=opt_state,
-                                step=jnp.zeros((), jnp.int32)), tx
+                                step=jnp.zeros((), jnp.int32),
+                                rng=rng), tx
 
 
 def make_train_step(
     cfg: Config,
     graphdef: nnx.GraphDef,
     tx: optax.GradientTransformation,
+    augment: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted SPMD train step.
 
     `batch` keys: image (B,H,W,3) f32 in [0,1], keypoints (B,P,K,2),
     visible (B,P,K), bboxes (B,P,4), valid (B,P) — all shardable on dim 0.
+    With ``augment=True`` the fused on-device affine/flip/color augmentation
+    (ops/augment.py) runs inside this step before target encoding.
     """
     m = cfg.model
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
+        rng = state.rng
+        if augment:
+            from ppn_tpu.ops.augment import augment_batch
+
+            rng, sub = jax.random.split(rng)
+            batch = dict(batch, **augment_batch(m, cfg.data, sub, {
+                k: batch[k] for k in
+                ("image", "keypoints", "visible", "bboxes", "valid")}))
         targets = enc.encode_batch(m, batch["keypoints"], batch["visible"],
                                    batch["bboxes"], batch["valid"])
 
@@ -129,7 +143,8 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, rest=new_rest,
-                               opt_state=new_opt, step=state.step + 1)
+                               opt_state=new_opt, step=state.step + 1,
+                               rng=rng)
         terms = dict(terms)
         terms["grad_norm"] = optax.global_norm(grads)
         return new_state, terms

@@ -30,7 +30,8 @@ class Trainer:
                  train_batches: Iterator[Dict[str, np.ndarray]],
                  val_dataset=None,
                  logdir: Optional[str] = None,
-                 use_mesh: bool = True):
+                 use_mesh: bool = True,
+                 augment: Optional[bool] = None):
         self.cfg = cfg
         self.batches = train_batches
         self.val_dataset = val_dataset
@@ -42,7 +43,10 @@ class Trainer:
         if self.mesh is not None:
             state = replicate(self.mesh, state)
         self.state = state
-        self.train_step = st.make_train_step(cfg, self.graphdef, self.tx)
+        if augment is None:
+            augment = cfg.data.augment
+        self.train_step = st.make_train_step(cfg, self.graphdef, self.tx,
+                                             augment=augment)
         self.forward = st.make_forward(cfg, self.graphdef)
 
         self.ckpt = Checkpointer(cfg.train.checkpoint_dir)

@@ -1,0 +1,127 @@
+"""On-device augmentation tests: geometry consistency between pixels and GT."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs import get_config
+from ppn_tpu.data.synthetic import SyntheticPoseDataset, _class_colors
+from ppn_tpu.ops.augment import augment_batch, augment_single
+
+
+def _identity_dcfg(dcfg, **over):
+    kw = dict(rotate_deg=0.0, scale_min=1.0, scale_max=1.0,
+              translate_frac=0.0, hflip_prob=0.0, color_jitter=0.0)
+    kw.update(over)
+    return dataclasses.replace(dcfg, **kw)
+
+
+def _one_sample(cfg):
+    ds = SyntheticPoseDataset(cfg, size=1, seed=21, num_persons=1)
+    return ds[0]
+
+
+def test_identity_augment_is_noop():
+    cfg = get_config("mpii_r18_384")
+    s = _one_sample(cfg)
+    dcfg = _identity_dcfg(cfg.data)
+    img, kp, vis, box, val = augment_single(
+        cfg.model, dcfg, jax.random.PRNGKey(0), s["image"], s["keypoints"],
+        s["visible"], s["bboxes"], s["valid"])
+    np.testing.assert_allclose(np.asarray(img), s["image"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kp), s["keypoints"], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(box), s["bboxes"], atol=1e-3)
+    # visibility may only shrink (out-of-frame masking), never grow
+    assert not np.any(np.asarray(vis) & ~s["visible"])
+
+
+def test_flip_mirrors_pixels_and_swaps_classes():
+    cfg = get_config("mpii_r18_384")
+    m = cfg.model
+    s = _one_sample(cfg)
+    dcfg = _identity_dcfg(cfg.data, hflip_prob=1.0)
+    img, kp, vis, box, val = augment_single(
+        m, dcfg, jax.random.PRNGKey(0), s["image"], s["keypoints"],
+        s["visible"], s["bboxes"], s["valid"])
+    W = m.insize[1]
+    # pixels mirrored (inner columns; border interp differs by half pixel)
+    got = np.asarray(img)[:, 1:-1]
+    want = s["image"][:, ::-1][:, 1:-1]
+    assert np.abs(got - want).mean() < 2e-2
+    # keypoint classes swapped left/right and x mirrored
+    perm = list(range(m.num_keypoints))
+    for a, b in m.flip_pairs:
+        perm[a - 1], perm[b - 1] = perm[b - 1], perm[a - 1]
+    np.testing.assert_allclose(
+        np.asarray(kp)[0, :, 0], (W - 1) - s["keypoints"][0, perm, 0],
+        atol=1.0)
+    np.testing.assert_allclose(
+        np.asarray(kp)[0, :, 1], s["keypoints"][0, perm, 1], atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(vis)[0],
+                                  s["visible"][0, perm])
+
+
+def test_random_augment_keeps_gt_on_rendered_joints():
+    """After a random warp, each visible keypoint must still sit on its
+    class-colored disk in the warped image (pixels and GT move together)."""
+    cfg = get_config("mpii_r18_384")
+    m = cfg.model
+    s = _one_sample(cfg)
+    dcfg = dataclasses.replace(cfg.data, hflip_prob=0.0, color_jitter=0.0)
+    colors = _class_colors(m.num_keypoints)
+
+    matches = total = 0
+    for seed in range(4):
+        img, kp, vis, box, val = augment_single(
+            m, dcfg, jax.random.PRNGKey(seed), s["image"], s["keypoints"],
+            s["visible"], s["bboxes"], s["valid"])
+        img = np.asarray(img)
+        kp = np.asarray(kp)
+        vis = np.asarray(vis)
+        for k in range(m.num_keypoints):
+            if not vis[0, k]:
+                continue
+            x, y = kp[0, k]
+            xi, yi = int(round(x)), int(round(y))
+            if not (0 <= xi < img.shape[1] and 0 <= yi < img.shape[0]):
+                continue
+            total += 1
+            if np.linalg.norm(img[yi, xi] - colors[k]) < 0.35:
+                matches += 1
+    assert total > 10
+    # disks can overlap/overdraw each other, so demand a strong majority
+    assert matches / total > 0.7, (matches, total)
+
+
+def test_augment_batch_shapes_and_jit():
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=4, seed=5)
+    from ppn_tpu.data.pipeline import collate
+
+    batch = collate([ds[i] for i in range(4)])
+    batch.pop("headsizes", None)
+    fn = jax.jit(lambda k, b: augment_batch(cfg.model, cfg.data, k, b))
+    out = fn(jax.random.PRNGKey(0), batch)
+    for k in ("image", "keypoints", "visible", "bboxes", "valid"):
+        assert out[k].shape == batch[k].shape, k
+
+
+def test_train_step_with_augmentation_runs():
+    import dataclasses as dc
+
+    from ppn_tpu.data.pipeline import collate
+    from ppn_tpu.train import steps as stp
+
+    cfg = get_config("tiny_test")
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, batch_size=2))
+    ds = SyntheticPoseDataset(cfg, size=2, seed=5)
+    batch = collate([ds[i] for i in range(2)])
+    graphdef, state, tx = stp.create_train_state(cfg)
+    step = stp.make_train_step(cfg, graphdef, tx, augment=True)
+    state1, terms = step(state, batch)
+    assert np.isfinite(float(terms["loss_total"]))
+    # rng must advance so the next step draws new augmentations
+    assert not np.array_equal(np.asarray(jax.random.key_data(state1.rng)),
+                              np.asarray(jax.random.key_data(
+                                  jax.random.PRNGKey(cfg.train.seed))))

@@ -1,0 +1,144 @@
+"""MPII/COCO parser tests against generated fixture annotation files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ppn_tpu.configs import get_config
+
+
+@pytest.fixture
+def mpii_root(tmp_path):
+    root = tmp_path / "mpii"
+    (root / "images").mkdir(parents=True)
+    (root / "annot").mkdir()
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(3):
+        name = f"img_{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)).save(
+                root / "images" / name)
+        for person in range(1 + i % 2):
+            joints = rng.uniform([10, 10], [310, 230],
+                                 size=(16, 2)).tolist()
+            records.append({
+                "image": name,
+                "joints": joints,
+                "joints_vis": [1] * 14 + [0, 1],
+                "center": [160, 120],
+                "scale": 1.2,
+                "headbox": [100, 20, 140, 60],
+            })
+    with open(root / "annot" / "train.json", "w") as f:
+        json.dump(records, f)
+    with open(root / "annot" / "valid.json", "w") as f:
+        json.dump(records[:2], f)
+    return str(root)
+
+
+def test_mpii_dataset(mpii_root):
+    from ppn_tpu.data.mpii import make_mpii_datasets
+
+    cfg = get_config("mpii_r18_384")
+    train, val = make_mpii_datasets(cfg, mpii_root)
+    assert len(train) == 3 and len(val) == 2
+    s = train[1]
+    m = cfg.model
+    assert s["image"].shape == (*m.insize, 3)
+    assert s["keypoints"].shape == (cfg.data.max_persons, m.num_keypoints, 2)
+    assert s["valid"].sum() == 2  # img_1 has 2 persons
+    # keypoints scaled into the input frame
+    kp = s["keypoints"][s["valid"]]
+    vis = s["visible"][s["valid"]]
+    assert np.all(kp[vis] >= 0) and np.all(kp[vis][:, 0] < m.insize[1])
+    # headsize from the provided headbox, scaled
+    hs = s["headsizes"][s["valid"]]
+    assert np.all(hs > 0)
+    # joint remapping: r_ankle (MPII idx 0) lands at class r_ankle
+    cls = m.keypoint_names.index("r_ankle") - 1
+    assert np.isfinite(s["keypoints"][0, cls]).all()
+
+
+def test_mpii_overfit_mode(mpii_root):
+    from ppn_tpu.data.mpii import make_mpii_datasets
+
+    cfg = get_config("mpii_r18_384")
+    train, val = make_mpii_datasets(cfg, mpii_root, overfit=2)
+    assert len(train) == 2 and val is train
+
+
+def test_mpii_missing_annotations(tmp_path):
+    from ppn_tpu.data.mpii import make_mpii_datasets
+
+    cfg = get_config("mpii_r18_384")
+    with pytest.raises(FileNotFoundError, match="MPII annotation"):
+        make_mpii_datasets(cfg, str(tmp_path))
+
+
+@pytest.fixture
+def coco_root(tmp_path):
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "train2017").mkdir()
+    (root / "val2017").mkdir()
+    rng = np.random.default_rng(0)
+    images, anns = [], []
+    aid = 1
+    for i in range(2):
+        name = f"{i:012d}.jpg"
+        for d in ("train2017", "val2017"):
+            Image.fromarray(
+                rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)).save(
+                    root / d / name)
+        images.append({"id": i, "file_name": name, "width": 300,
+                       "height": 200})
+        for p in range(2):
+            kps = []
+            for k in range(17):
+                kps += [float(rng.uniform(5, 295)),
+                        float(rng.uniform(5, 195)), 2]
+            anns.append({"id": aid, "image_id": i, "category_id": 1,
+                         "keypoints": kps, "num_keypoints": 17,
+                         "bbox": [20, 20, 100, 150], "area": 15000,
+                         "iscrowd": 0})
+            aid += 1
+    blob = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"}]}
+    for split in ("train2017", "val2017"):
+        with open(root / "annotations" /
+                  f"person_keypoints_{split}.json", "w") as f:
+            json.dump(blob, f)
+    return str(root)
+
+
+def test_coco_dataset(coco_root):
+    from ppn_tpu.data.coco import make_coco_datasets
+
+    cfg = get_config("coco_r18_384")
+    train, val = make_coco_datasets(cfg, coco_root)
+    assert len(train) == 2 and len(val) == 2
+    s = train[0]
+    m = cfg.model
+    assert s["image"].shape == (*m.insize, 3)
+    assert s["valid"].sum() == 2
+    assert s["keypoints"].shape[1] == 17
+    assert np.all(s["headsizes"][s["valid"]] > 0)
+    assert np.all(s["areas"][s["valid"]] > 0)
+
+
+def test_coco_end_to_end_encode(coco_root):
+    """COCO sample flows through encode with the coco config (K=17, L=17)."""
+    from ppn_tpu.data.coco import make_coco_datasets
+    from ppn_tpu.ops import encode as enc
+
+    cfg = get_config("coco_r18_384")
+    train, _ = make_coco_datasets(cfg, coco_root)
+    s = train[0]
+    t = enc.encode_single(cfg.model, s["keypoints"], s["visible"],
+                          s["bboxes"], s["valid"])
+    assert np.asarray(t.delta).sum() > 0
+    assert t.te.shape[2] == cfg.model.num_limbs
