@@ -1,0 +1,119 @@
+"""PCKh and OKS/AP evaluator tests with hand-constructed predictions."""
+
+import numpy as np
+
+from ppn_tpu.configs import get_config
+from ppn_tpu.eval.coco_eval import OKSEvaluator, oks, COCO_SIGMAS
+from ppn_tpu.eval.pckh import PCKhEvaluator
+from ppn_tpu.ops.parse import People
+
+
+def _people_from_gt(cfg, gt_kp, gt_vis, gt_box, jitter=0.0, score=0.9):
+    """Build a People struct that predicts GT exactly (plus jitter)."""
+    m = cfg.model
+    P = m.max_instances
+    K1 = m.num_classes
+    kp_cell = np.zeros((P, K1, 2), np.int32)
+    kp_box = np.zeros((P, K1, 4), np.float32)
+    kp_score = np.zeros((P, K1), np.float32)
+    kp_valid = np.zeros((P, K1), bool)
+    valid = np.zeros((P,), bool)
+    num_kp = np.zeros((P,), np.int32)
+
+    n = gt_box.shape[0]
+    for p in range(n):
+        kp_box[p, 0] = gt_box[p]
+        kp_score[p, 0] = score - 0.05 * p
+        kp_valid[p, 0] = True
+        for k in range(m.num_keypoints):
+            if gt_vis[p, k]:
+                kp_box[p, k + 1, :2] = gt_kp[p, k] + jitter
+                kp_box[p, k + 1, 2:] = 10.0
+                kp_valid[p, k + 1] = True
+                kp_score[p, k + 1] = score
+        num_kp[p] = gt_vis[p].sum()
+        valid[p] = True
+    return People(kp_cell, kp_box, kp_score, kp_valid, valid, num_kp)
+
+
+def _gt(cfg, n=2, seed=0):
+    m = cfg.model
+    rng = np.random.default_rng(seed)
+    K = m.num_keypoints
+    kp = rng.uniform(50, 300, (n, K, 2)).astype(np.float32)
+    vis = np.ones((n, K), bool)
+    box = np.zeros((n, 4), np.float32)
+    for p in range(n):
+        box[p] = (*kp[p].mean(0), 200, 200)
+        box[p, 0] += p * 500  # separate persons
+        kp[p, :, 0] += p * 500
+    valid = np.ones((n,), bool)
+    hs = np.full((n,), 40.0, np.float32)
+    return kp, vis, box, valid, hs
+
+
+def test_pckh_perfect_predictions():
+    cfg = get_config("mpii_r18_384")
+    kp, vis, box, valid, hs = _gt(cfg)
+    ppl = _people_from_gt(cfg, kp, vis, box)
+    ev = PCKhEvaluator(cfg.model)
+    ev.add_image(ppl, kp, vis, box, valid, hs)
+    s = ev.summarize()
+    assert s["pckh/mean"] == 1.0
+
+
+def test_pckh_jitter_beyond_threshold():
+    cfg = get_config("mpii_r18_384")
+    kp, vis, box, valid, hs = _gt(cfg)
+    # jitter > 0.5*headsize in x ⇒ all joints wrong
+    ppl = _people_from_gt(cfg, kp, vis, box, jitter=0.6 * 40.0)
+    ev = PCKhEvaluator(cfg.model)
+    ev.add_image(ppl, kp, vis, box, valid, hs)
+    assert ev.summarize()["pckh/mean"] == 0.0
+
+
+def test_pckh_unmatched_gt_counts_as_miss():
+    cfg = get_config("mpii_r18_384")
+    kp, vis, box, valid, hs = _gt(cfg, n=2)
+    ppl = _people_from_gt(cfg, kp[:1], vis[:1], box[:1])  # predict only 1
+    ev = PCKhEvaluator(cfg.model)
+    ev.add_image(ppl, kp, vis, box, valid, hs)
+    s = ev.summarize()
+    assert 0.45 < s["pckh/mean"] < 0.55
+
+
+def test_oks_identity_is_one():
+    kp = np.random.default_rng(0).uniform(0, 100, (17, 2))
+    vis = np.ones(17)
+    v = oks(kp, kp, vis, area=5000.0, sigmas=COCO_SIGMAS,
+            pred_valid=np.ones(17, bool))
+    assert abs(v - 1.0) < 1e-9
+
+
+def test_oks_ap_perfect():
+    cfg = get_config("coco_r18_384")
+    kp, vis, box, valid, hs = _gt(cfg)
+    areas = np.full((2,), 4e4, np.float32)
+    ppl = _people_from_gt(cfg, kp, vis, box)
+    ev = OKSEvaluator(cfg.model)
+    ev.add_image(ppl, kp, vis, valid, areas)
+    s = ev.summarize()
+    assert s["oks/AP"] > 0.99
+    assert s["oks/AP50"] > 0.99
+
+
+def test_oks_ap_false_positives_lower_ap():
+    cfg = get_config("coco_r18_384")
+    kp, vis, box, valid, hs = _gt(cfg)
+    areas = np.full((2,), 4e4, np.float32)
+    # add a high-scoring garbage detection far from all GT
+    kp_fp = kp.copy() + 10_000
+    ppl_good = _people_from_gt(cfg, kp, vis, box)
+    ppl_fp = _people_from_gt(cfg, np.concatenate([kp_fp[:1], kp]),
+                             np.concatenate([vis[:1], vis]),
+                             np.concatenate([box[:1] + 10_000, box]))
+    ev_good = OKSEvaluator(cfg.model)
+    ev_good.add_image(ppl_good, kp, vis, valid, areas)
+    ev_fp = OKSEvaluator(cfg.model)
+    ev_fp.add_image(ppl_fp, kp, vis, valid, areas)
+    assert ev_fp.summarize()["oks/AP"] < ev_good.summarize()["oks/AP"]
