@@ -28,8 +28,66 @@ class NMSResult(NamedTuple):
     score: jnp.ndarray  # (..., H', W', K+1) f32 — score where kept, else 0
 
 
+def _suppression_matrix(cfg: PPNConfig, props: Proposals):
+    """(K1, N, N) M[c, i, j] = "j can suppress i": j earlier in greedy order
+    (higher score, ties by lower index — exactly argsort(-score, stable))
+    and IoU(i, j) > nms_thresh. Plus the (K1, N) above-threshold mask."""
+    H, W = cfg.outsize
+    K1 = cfg.num_classes
+    N = H * W
+    score = props.score.reshape(N, K1).T                       # (K1, N)
+    boxes = props.boxes.reshape(N, K1, 4).transpose(1, 0, 2)   # (K1, N, 4)
+
+    iou = boxops.pairwise_iou_cxcywh(boxes, boxes)
+    overlap = iou > cfg.nms_thresh
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)       # i
+    jdx = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)       # j
+    earlier = ((score[:, None, :] > score[:, :, None])
+               | ((score[:, None, :] == score[:, :, None]) & (jdx < idx)))
+    above = score > cfg.detection_thresh
+    M = overlap & earlier & above[:, None, :]  # only real proposals suppress
+    return M, above, score
+
+
 def nms_single(cfg: PPNConfig, props: Proposals) -> NMSResult:
-    """NMS for one image: props.boxes (H,W,K1,4), props.score (H,W,K1)."""
+    """Exact greedy NMS via parallel waves.
+
+    Each wave keeps every undecided proposal whose earlier-ordered
+    overlapping proposals are all decided-suppressed, then suppresses
+    proposals overlapped by a kept one. This reaches the greedy fixpoint in
+    ~2–5 dense iterations instead of N sequential scan steps — the same
+    result as the reference's sequential loop, bit-for-bit (tested against
+    a CPU oracle and the scan formulation).
+    """
+    H, W = cfg.outsize
+    K1 = cfg.num_classes
+    M, above, _ = _suppression_matrix(cfg, props)
+
+    def cond(state):
+        kept, undecided = state
+        return jnp.any(undecided)
+
+    def body(state):
+        kept, undecided = state
+        blocked = jnp.einsum("cij,cj->ci", M, kept,
+                             preferred_element_type=jnp.float32) > 0
+        undecided = undecided & ~blocked
+        higher_open = jnp.einsum("cij,cj->ci", M, undecided,
+                                 preferred_element_type=jnp.float32) > 0
+        newly_keep = undecided & ~higher_open
+        kept = kept | newly_keep
+        undecided = undecided & ~newly_keep
+        return kept, undecided
+
+    kept0 = jnp.zeros_like(above)
+    kept, _ = jax.lax.while_loop(cond, body, (kept0, above))
+    keep = kept.T.reshape(H, W, K1)
+    return NMSResult(keep=keep, score=jnp.where(keep, props.score, 0.0))
+
+
+def nms_single_scan(cfg: PPNConfig, props: Proposals) -> NMSResult:
+    """Reference formulation: sequential greedy via lax.scan over sorted
+    order. Kept as a cross-check oracle for the wave version."""
     H, W = cfg.outsize
     K1 = cfg.num_classes
     N = H * W

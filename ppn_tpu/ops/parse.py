@@ -43,67 +43,92 @@ class People(NamedTuple):
     num_kp: jnp.ndarray
 
 
+def _edge_best_maps(cfg: PPNConfig, e: jnp.ndarray, score: jnp.ndarray):
+    """Dense per-edge best-destination maps, shared by all person slots.
+
+    For every source cell (y, x) and limb l:
+        best over the (H_l, W_l) window of  e[y,x,l,dy,dx] · score_dst
+    Returns (best_val, dst_iy, dst_ix, dst_score), each (H, W, L).
+
+    This replaces per-person windowed gathers (P·81 dynamic gathers per
+    edge) with one dense, fully-vectorized computation — the TPU-friendly
+    formulation of the reference's per-candidate loop.
+    """
+    H, W = cfg.outsize
+    Hl, Wl = cfg.local_grid_size
+    L = cfg.num_limbs
+    ch, cw = Hl // 2, Wl // 2
+
+    dst = jnp.asarray([d for _, d in cfg.edges], jnp.int32)
+    score_d = score[..., dst]                              # (H, W, L)
+    padded = jnp.pad(score_d, ((ch, ch), (cw, cw), (0, 0)))
+
+    # windows[y, x, l, dy·Wl+dx] = score of dst cell (y+dy−ch, x+dx−cw)
+    windows = jnp.stack(
+        [padded[dy:dy + H, dx:dx + W] for dy in range(Hl)
+         for dx in range(Wl)], axis=-1)                     # (H, W, L, Hl·Wl)
+
+    esc = e.reshape(H, W, L, Hl * Wl) * windows
+    best = jnp.argmax(esc, axis=-1)                        # (H, W, L)
+    best_val = jnp.take_along_axis(esc, best[..., None], axis=-1)[..., 0]
+    dst_score = jnp.take_along_axis(windows, best[..., None],
+                                    axis=-1)[..., 0]
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W, L), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W, L), 1)
+    dst_iy = jnp.clip(iy + best // Wl - ch, 0, H - 1)
+    dst_ix = jnp.clip(ix + best % Wl - cw, 0, W - 1)
+    return best_val, dst_iy, dst_ix, dst_score
+
+
 def parse_single(cfg: PPNConfig, act: Activations, props: Proposals,
                  nms: NMSResult) -> People:
     """Assemble persons for one image from post-NMS proposals."""
     H, W = cfg.outsize
-    Hl, Wl = cfg.local_grid_size
     K1 = cfg.num_classes
     P = cfg.max_instances
 
     score = nms.score                      # (H, W, K1), zeroed where dropped
     boxes = props.boxes                    # (H, W, K1, 4)
-    e = act.e                              # (H, W, L, Hl, Wl)
+
+    best_val, dst_iy, dst_ix, dst_score = _edge_best_maps(
+        cfg, act.e, score)
+    # one fused per-edge map: flat cell → (best_val, dst_flat, dst_score)
+    L = cfg.num_limbs
+    dst_flat = (dst_iy * W + dst_ix).astype(jnp.float32)
+    maps = jnp.stack(
+        [best_val.reshape(H * W, L), dst_flat.reshape(H * W, L),
+         dst_score.reshape(H * W, L)], axis=-1)        # (H·W, L, 3)
 
     # ---- seed: top-P surviving instance proposals --------------------------
     inst = score[..., 0].reshape(-1)       # (H·W,)
     top_v, top_i = jax.lax.top_k(inst, P)
-    seed_iy = top_i // W
-    seed_ix = top_i % W
     seed_valid = top_v > 0.0
 
-    kp_cell = jnp.zeros((P, K1, 2), jnp.int32)
-    kp_score = jnp.zeros((P, K1), jnp.float32)
-    kp_valid = jnp.zeros((P, K1), bool)
-    kp_cell = kp_cell.at[:, 0, 0].set(seed_iy).at[:, 0, 1].set(seed_ix)
-    kp_score = kp_score.at[:, 0].set(top_v)
-    kp_valid = kp_valid.at[:, 0].set(seed_valid)
+    # Per-class state as static Python lists — the edge walk then emits one
+    # gather + a few elementwise ops per edge instead of scatter updates.
+    cell_f = [jnp.zeros((P,), jnp.int32) for _ in range(K1)]   # flat cells
+    score_c = [jnp.zeros((P,), jnp.float32) for _ in range(K1)]
+    valid_c = [jnp.zeros((P,), bool) for _ in range(K1)]
+    cell_f[0] = top_i
+    score_c[0] = top_v
+    valid_c[0] = seed_valid
 
-    dy_off = jax.lax.broadcasted_iota(jnp.int32, (Hl, Wl), 0) - Hl // 2
-    dx_off = jax.lax.broadcasted_iota(jnp.int32, (Hl, Wl), 1) - Wl // 2
-
-    # ---- walk the limb tree (static L-iteration loop) ----------------------
     for l, (s_cls, d_cls) in enumerate(cfg.edges):
+        entry = maps[:, l, :][cell_f[s_cls]]           # (P, 3) single gather
+        ok = valid_c[s_cls] & (entry[:, 0] > 0.0)
+        cell_f[d_cls] = jnp.where(ok, entry[:, 1].astype(jnp.int32), 0)
+        score_c[d_cls] = jnp.where(ok, entry[:, 2], 0.0)
+        valid_c[d_cls] = ok
 
-        def extend(src_cell, src_ok):
-            ys, xs = src_cell[0], src_cell[1]
-            win = e[ys, xs, l]                            # (Hl, Wl) limb prob
-            yc = ys + dy_off
-            xc = xs + dx_off
-            inb = (yc >= 0) & (yc < H) & (xc >= 0) & (xc < W)
-            ycc = jnp.clip(yc, 0, H - 1)
-            xcc = jnp.clip(xc, 0, W - 1)
-            cand = score[ycc, xcc, d_cls]                 # (Hl, Wl)
-            esc = jnp.where(inb & src_ok, win * cand, 0.0)
-            flat = esc.reshape(-1)
-            best = jnp.argmax(flat)
-            val = flat[best]
-            by = ycc.reshape(-1)[best]
-            bx = xcc.reshape(-1)[best]
-            ok = val > 0.0
-            dscore = cand.reshape(-1)[best]
-            return jnp.stack([by, bx]), dscore, ok
-
-        cells, dscores, oks = jax.vmap(extend)(
-            kp_cell[:, s_cls], kp_valid[:, s_cls])
-        kp_cell = kp_cell.at[:, d_cls].set(
-            jnp.where(oks[:, None], cells, kp_cell[:, d_cls]))
-        kp_score = kp_score.at[:, d_cls].set(jnp.where(oks, dscores, 0.0))
-        kp_valid = kp_valid.at[:, d_cls].set(oks)
+    kp_flat = jnp.stack(cell_f, axis=1)                # (P, K1)
+    kp_score = jnp.stack(score_c, axis=1)
+    kp_valid = jnp.stack(valid_c, axis=1)
+    kp_cell = jnp.stack([kp_flat // W, kp_flat % W], axis=-1)
 
     # ---- gather boxes at assigned cells ------------------------------------
     cls_idx = jnp.arange(K1)[None, :]
-    kp_box = boxes[kp_cell[..., 0], kp_cell[..., 1], cls_idx]  # (P, K1, 4)
+    kp_box = boxes.reshape(H * W, K1, 4)[kp_flat, cls_idx]  # (P, K1, 4)
     kp_box = jnp.where(kp_valid[..., None], kp_box, 0.0)
 
     num_kp = jnp.sum(kp_valid[:, 1:], axis=-1).astype(jnp.int32)

@@ -1,0 +1,55 @@
+"""Multi-host SPMD support (SURVEY.md §2.4 comm-backend row).
+
+The reference is single-process (no torch.distributed). The TPU-native
+scale-out path: ``jax.distributed.initialize`` over DCN for the process
+group, a global mesh whose ``data`` axis spans all hosts' chips, per-host
+data loading assembled into global arrays with
+``jax.make_array_from_process_local_data``. Gradient all-reduce stays an
+XLA collective over ICI/DCN — no NCCL-style user code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the jax process group. No-ops on a single host with no
+    coordinator configured (env-based auto-detection still applies)."""
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return  # single-process run
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0
+
+
+def global_batch_from_local(mesh, local_batch: Dict[str, np.ndarray]
+                            ) -> Dict[str, Any]:
+    """Assemble per-host numpy shards into global sharded arrays.
+
+    Each host loads ``global_batch_size / num_processes`` examples; this
+    produces arrays whose leading dim is the *global* batch, sharded over
+    the mesh's ``data`` axis — drop-in for `shard_batch` on multi-host.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in local_batch.items()
+    }

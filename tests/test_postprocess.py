@@ -109,6 +109,19 @@ def test_nms_matches_oracle(cfg):
                 err_msg=f"class {c} seed {seed}")
 
 
+def test_wave_nms_matches_scan_nms(cfg):
+    """The parallel-wave NMS must equal the sequential scan formulation."""
+    m = cfg.model
+    for seed in range(5):
+        fm = _random_fm(m, seed)
+        act, props = dec.decode(m, fm)
+        wave = nmsops.nms_single(m, props)
+        scan = nmsops.nms_single_scan(m, props)
+        np.testing.assert_array_equal(np.asarray(wave.keep),
+                                      np.asarray(scan.keep),
+                                      err_msg=f"seed {seed}")
+
+
 def test_parse_matches_oracle(cfg):
     m = cfg.model
     for seed in range(3):
