@@ -36,7 +36,7 @@ def main():
     def pipeline(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
         fm = m(images)
-        people = post.postprocess_batch_fn(cfg.model, fm)
+        people = post.postprocess_batch_fast_fn(cfg.model, fm)
         return people.kp_box, people.kp_score, people.valid
 
     rng = np.random.default_rng(0)

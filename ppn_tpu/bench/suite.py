@@ -43,7 +43,7 @@ def _pipeline_fn(cfg, graphdef):
     def pipeline(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
         fm = m(images)
-        p = post.postprocess_batch_fn(cfg.model, fm)
+        p = post.postprocess_batch_fast_fn(cfg.model, fm)
         return p.kp_box, p.kp_score, p.valid
 
     return pipeline

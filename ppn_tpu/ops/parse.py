@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ppn_tpu.configs.base import PPNConfig
 from ppn_tpu.ops.decode import Activations, Proposals
@@ -43,42 +44,61 @@ class People(NamedTuple):
     num_kp: jnp.ndarray
 
 
-def _edge_best_maps(cfg: PPNConfig, e: jnp.ndarray, score: jnp.ndarray):
+def _edge_best_maps_flat(cfg: PPNConfig, e: jnp.ndarray,
+                         score: jnp.ndarray) -> jnp.ndarray:
     """Dense per-edge best-destination maps, shared by all person slots.
 
-    For every source cell (y, x) and limb l:
-        best over the (H_l, W_l) window of  e[y,x,l,dy,dx] · score_dst
-    Returns (best_val, dst_iy, dst_ix, dst_score), each (H, W, L).
+    For every source cell n (flat) and limb l:
+        best over the (H_l, W_l) window of  e[n, l, j] · score_dst(nbr(j, n))
 
-    This replaces per-person windowed gathers (P·81 dynamic gathers per
-    edge) with one dense, fully-vectorized computation — the TPU-friendly
-    formulation of the reference's per-candidate loop.
+    Returns maps (H·W, L, 3) = [best_val, dst_flat_cell, dst_score].
+
+    Formulation: each window offset j is a flat-index roll of the dst score
+    map (wrap artifacts masked by a static in-bounds table); the winner is
+    selected with a first-max one-hot reduction — no gathers, no
+    take_along_axis, fully vectorized (the TPU-friendly version of the
+    reference's per-candidate CPU loop).
     """
     H, W = cfg.outsize
     Hl, Wl = cfg.local_grid_size
+    K1 = cfg.num_classes
     L = cfg.num_limbs
+    N = H * W
+    NW = Hl * Wl
     ch, cw = Hl // 2, Wl // 2
 
     dst = jnp.asarray([d for _, d in cfg.edges], jnp.int32)
-    score_d = score[..., dst]                              # (H, W, L)
-    padded = jnp.pad(score_d, ((ch, ch), (cw, cw), (0, 0)))
+    D = score.reshape(N, K1)[:, dst]                       # (N, L)
 
-    # windows[y, x, l, dy·Wl+dx] = score of dst cell (y+dy−ch, x+dx−cw)
-    windows = jnp.stack(
-        [padded[dy:dy + H, dx:dx + W] for dy in range(Hl)
-         for dx in range(Wl)], axis=-1)                     # (H, W, L, Hl·Wl)
+    shifts = [(j // Wl - ch) * W + (j % Wl - cw) for j in range(NW)]
+    rolls = jnp.stack([jnp.roll(D, -s, axis=0) for s in shifts],
+                      axis=0)                              # (NW, N, L)
 
-    esc = e.reshape(H, W, L, Hl * Wl) * windows
-    best = jnp.argmax(esc, axis=-1)                        # (H, W, L)
-    best_val = jnp.take_along_axis(esc, best[..., None], axis=-1)[..., 0]
-    dst_score = jnp.take_along_axis(windows, best[..., None],
-                                    axis=-1)[..., 0]
+    # static in-bounds + clipped neighbor-index tables
+    n_idx = np.arange(N)
+    yy = n_idx // W
+    xx = n_idx % W
+    nbrv = np.zeros((NW, N), bool)
+    nbrc = np.zeros((NW, N), np.float32)
+    for j, s in enumerate(shifts):
+        dy, dx = j // Wl - ch, j % Wl - cw
+        okj = (yy + dy >= 0) & (yy + dy < H) & (xx + dx >= 0) & (xx + dx < W)
+        nbrv[j] = okj
+        nbrc[j] = np.where(okj, n_idx + s, 0)
+    nbrv_a = jnp.asarray(nbrv)[..., None]                  # (NW, N, 1)
+    nbrc_a = jnp.asarray(nbrc)[..., None]
 
-    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W, L), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W, L), 1)
-    dst_iy = jnp.clip(iy + best // Wl - ch, 0, H - 1)
-    dst_ix = jnp.clip(ix + best % Wl - cw, 0, W - 1)
-    return best_val, dst_iy, dst_ix, dst_score
+    e_t = jnp.transpose(e.reshape(N, L, NW), (2, 0, 1))    # (NW, N, L)
+    esc = jnp.where(nbrv_a, e_t * rolls, 0.0)
+
+    bv = jnp.max(esc, axis=0)                              # (N, L)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (NW, N, L), 0)
+    is_best = (esc == bv[None]) & (bv[None] > 0.0)
+    firstj = jnp.min(jnp.where(is_best, jrow, NW), axis=0)  # (N, L)
+    onehot = (jrow == firstj[None]).astype(jnp.float32)
+    dst_flat = jnp.sum(onehot * nbrc_a, axis=0)
+    dst_score = jnp.sum(onehot * rolls, axis=0)
+    return jnp.stack([bv, dst_flat, dst_score], axis=-1)   # (N, L, 3)
 
 
 def parse_single(cfg: PPNConfig, act: Activations, props: Proposals,
@@ -91,14 +111,8 @@ def parse_single(cfg: PPNConfig, act: Activations, props: Proposals,
     score = nms.score                      # (H, W, K1), zeroed where dropped
     boxes = props.boxes                    # (H, W, K1, 4)
 
-    best_val, dst_iy, dst_ix, dst_score = _edge_best_maps(
-        cfg, act.e, score)
-    # one fused per-edge map: flat cell → (best_val, dst_flat, dst_score)
-    L = cfg.num_limbs
-    dst_flat = (dst_iy * W + dst_ix).astype(jnp.float32)
-    maps = jnp.stack(
-        [best_val.reshape(H * W, L), dst_flat.reshape(H * W, L),
-         dst_score.reshape(H * W, L)], axis=-1)        # (H·W, L, 3)
+    # per-edge maps: flat cell → (best_val, dst_flat_cell, dst_score)
+    maps = _edge_best_maps_flat(cfg, act.e, score)     # (H·W, L, 3)
 
     # ---- seed: top-P surviving instance proposals --------------------------
     inst = score[..., 0].reshape(-1)       # (H·W,)

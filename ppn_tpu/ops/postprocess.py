@@ -36,3 +36,18 @@ def postprocess_batch_fn(cfg: PPNConfig, feature_map) -> People:
 
 postprocess_single = partial(jax.jit, static_argnums=0)(postprocess_single_fn)
 postprocess_batch = partial(jax.jit, static_argnums=0)(postprocess_batch_fn)
+
+
+def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map) -> People:
+    """Fastest batched postprocess for the current backend (composable).
+
+    On TPU this is the fused Pallas kernel (ops/pallas_post.py) — decode,
+    exact greedy NMS and limb parsing in one VMEM-resident kernel per
+    image; elsewhere the XLA pipeline. Results are elementwise identical
+    (tested).
+    """
+    if jax.default_backend() == "tpu":
+        from ppn_tpu.ops.pallas_post import postprocess_batch_pallas
+
+        return postprocess_batch_pallas(cfg, feature_map)
+    return postprocess_batch_fn(cfg, feature_map)
