@@ -43,7 +43,8 @@ def make_video_pipeline(cfg, graphdef):
         model = nnx.merge(graphdef, state.params, state.rest)
         model.eval()
         fm = model(img[None])
-        return post.postprocess_single_fn(cfg.model, fm[0])
+        people = post.postprocess_batch_fast_fn(cfg.model, fm)
+        return jax.tree.map(lambda x: x[0], people)
 
     return run
 

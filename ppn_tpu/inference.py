@@ -1,0 +1,77 @@
+"""High-level inference API: the "switch from the reference" surface.
+
+    from ppn_tpu.inference import Predictor
+    p = Predictor.from_checkpoint("mpii_r18_384", "/ckpts/run1")
+    people = p.predict(images)          # (B, H, W, 3) float32 [0,1]
+    people0 = p.predict_single(image)   # (H, W, 3)
+
+Wraps model restore + jitted forward + the fastest postprocess backend for
+the current device (fused Pallas kernel on TPU). Holds compiled functions
+per batch shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import nnx
+
+from ppn_tpu.configs import Config, get_config
+from ppn_tpu.ops import postprocess as post
+from ppn_tpu.ops.parse import People
+
+
+class Predictor:
+    def __init__(self, cfg: Config, graphdef, params, rest):
+        self.cfg = cfg
+        self._graphdef = graphdef
+        self._params = params
+        self._rest = rest
+
+        @jax.jit
+        def _run(params, rest, images):
+            m = nnx.merge(graphdef, params, rest)
+            fm = m(images)
+            return post.postprocess_batch_fast_fn(cfg.model, fm)
+
+        self._run = _run
+
+    # ---- constructors ------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, config: str | Config,
+                        ckpt_dir: Optional[str] = None) -> "Predictor":
+        from ppn_tpu.train import steps as st
+        from ppn_tpu.train.checkpoint import Checkpointer
+
+        cfg = get_config(config) if isinstance(config, str) else config
+        graphdef, state, _ = st.create_train_state(cfg)
+        if ckpt_dir:
+            ck = Checkpointer(ckpt_dir)
+            restored = ck.restore_latest(jax.device_get(state))
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+            _, state = restored
+        model = nnx.merge(graphdef, state.params, state.rest)
+        model.eval()
+        graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+        return cls(cfg, graphdef, params, rest)
+
+    # ---- inference ---------------------------------------------------------
+    def predict(self, images: np.ndarray) -> People:
+        """(B, H, W, 3) float32 [0,1] at cfg insize → host People."""
+        if images.ndim != 4:
+            raise ValueError(f"expected (B, H, W, 3), got {images.shape}")
+        if images.shape[1:3] != tuple(self.cfg.model.insize):
+            raise ValueError(
+                f"images are {images.shape[1:3]}, config expects "
+                f"{self.cfg.model.insize}; resize first "
+                "(ppn_tpu.ops.image.resize_bilinear or the native loader)")
+        return jax.device_get(
+            self._run(self._params, self._rest,
+                      images.astype(np.float32)))
+
+    def predict_single(self, image: np.ndarray) -> People:
+        ppl = self.predict(image[None])
+        return jax.tree.map(lambda x: x[0], ppl)

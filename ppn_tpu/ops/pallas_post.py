@@ -76,14 +76,16 @@ def _make_kernel(cfg: PPNConfig):
 
     C6p = _pad128(6 * K1)
     Npad = _pad128(N)
+    Lp = -(-L // 8) * 8  # sublane-align the limb dim of the e block
     OUTW = 128  # all (P, ·) outputs padded to one lane tile
 
     def kernel(fm_ref, e_ref, nbrv_ref, nbrc_ref,
                box_out, score_out, valid_out, cell_out):
         """Refs (lane dims padded to 128 multiples for Mosaic memrefs):
         fm_ref:     (N, C6p) f32 — box-channel groups [0:6·K1], flat cells
-        e_ref:      (NW, L, Npad) f32 — raw limb logits, window-major
-                    (window offset on the untiled leading dim)
+        e_ref:      (NW, Lp, Npad) f32 — raw limb logits, window-major
+                    (window offset on the untiled leading dim, limbs
+                    sublane-padded to Lp)
         nbrv_ref:   (NW, Npad) f32 — 1.0 where window offset stays in bounds
         nbrc_ref:   (NW, Npad) f32 — clipped flat neighbor index table
         box_out:    (P, OUTW) f32 [K1·4 used]
@@ -190,17 +192,19 @@ def _make_kernel(cfg: PPNConfig):
         # ascending order = first-max tie-break (row-major window order),
         # matching the XLA/oracle argmax exactly.
         d_all = jnp.concatenate(
-            [to_row(skept[:, d:d + 1]) for d in dst_of], axis=0)  # (L, N)
+            [to_row(skept[:, d:d + 1]) for d in dst_of]
+            + [jnp.zeros((1, N), jnp.float32)] * (Lp - L),
+            axis=0)                                      # (Lp, N)
 
-        bv_all = jnp.zeros((L, N), jnp.float32)
-        bdst_all = jnp.zeros((L, N), jnp.float32)
-        bdsc_all = jnp.zeros((L, N), jnp.float32)
+        bv_all = jnp.zeros((Lp, N), jnp.float32)
+        bdst_all = jnp.zeros((Lp, N), jnp.float32)
+        bdsc_all = jnp.zeros((Lp, N), jnp.float32)
         for j in range(NW):
             s = shifts[j]
             nv = nbrv_ref[j:j + 1, :][:, :N]             # (1, N)
             nc = nbrc_ref[j:j + 1, :][:, :N]
             wj = pltpu.roll(d_all, (-s) % N, axis=1) * nv
-            ej = _sigmoid(e_ref[j][:, :N])               # (L, N)
+            ej = _sigmoid(e_ref[j][:, :N])               # (Lp, N)
             escj = ej * wj
             better = escj > bv_all
             bv_all = jnp.where(better, escj, bv_all)
@@ -307,16 +311,17 @@ def postprocess_batch_pallas(cfg: PPNConfig, feature_map,
 
     C6p = _pad128(6 * K1)
     Npad = _pad128(N)
+    Lp = -(-L // 8) * 8
     OUTW = 128
 
     fm = feature_map.astype(jnp.float32)
     fm2d = fm[..., :6 * K1].reshape(B, N, 6 * K1)
     fm2d = jnp.pad(fm2d, ((0, 0), (0, 0), (0, C6p - 6 * K1)))
-    # limb logits → (B, NW, L, N): window offset leads (untiled dim),
-    # limb rows on sublanes, flat cells on lanes
+    # limb logits → (B, NW, Lp, N): window offset leads (untiled dim),
+    # limb rows on sublanes (8-aligned), flat cells on lanes
     e = fm[..., 6 * K1:].reshape(B, N, L, NW)
     e = jnp.transpose(e, (0, 3, 2, 1))                   # (B, NW, L, N)
-    e = jnp.pad(e, ((0, 0), (0, 0), (0, 0), (0, Npad - N)))
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, Lp - L), (0, Npad - N)))
 
     kernel, nbrv_np, nbrc_np = _make_kernel(cfg)
     padN = ((0, 0), (0, Npad - N))
@@ -328,7 +333,7 @@ def postprocess_batch_pallas(cfg: PPNConfig, feature_map,
         in_specs=[
             pl.BlockSpec((1, N, C6p), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NW, L, Npad), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, NW, Lp, Npad), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NW, Npad), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
