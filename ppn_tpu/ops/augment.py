@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from ppn_tpu.configs.base import DataConfig, PPNConfig
-from ppn_tpu.ops.image import affine_warp, apply_affine_points, make_affine
+from ppn_tpu.ops.image import (
+    affine_warp,
+    affine_warp_separable,
+    apply_affine_points,
+    make_affine,
+)
 
 
 def _flip_permutation(cfg: PPNConfig) -> jnp.ndarray:
@@ -58,7 +63,12 @@ def augment_single(
     center = jnp.asarray([W / 2.0, H / 2.0], jnp.float32)
     bwd, fwd = make_affine(center, center, angle, scale, trans, flip)
 
-    out = affine_warp(image, bwd, (H, W))
+    # TPU: MXU-matmul two-pass warp (per-pixel gathers are scalar on TPU,
+    # ~20× slower); CPU/GPU: direct bilinear gather.
+    if jax.default_backend() == "tpu":
+        out = affine_warp_separable(image, bwd, (H, W))
+    else:
+        out = affine_warp(image, bwd, (H, W))
 
     # color jitter: brightness + contrast around the per-image mean
     b = 1.0 + jax.random.uniform(k_bright, (), minval=-dcfg.color_jitter,

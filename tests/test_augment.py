@@ -94,6 +94,44 @@ def test_random_augment_keeps_gt_on_rendered_joints():
     assert matches / total > 0.7, (matches, total)
 
 
+def test_separable_warp_matches_gather_warp():
+    """Two-pass MXU warp ≈ direct bilinear gather warp (same affine)."""
+    import jax.numpy as jnp
+
+    from ppn_tpu.ops.image import (affine_warp, affine_warp_separable,
+                                   make_affine)
+
+    cfg = get_config("mpii_r18_384")
+    s = _one_sample(cfg)
+    img = jnp.asarray(s["image"])
+    H, W = img.shape[:2]
+    center = jnp.asarray([W / 2, H / 2], jnp.float32)
+    for angle, scale, tx in [(0.0, 1.0, 0.0), (0.3, 1.1, 12.0),
+                             (-0.5, 0.8, -7.0), (0.7, 1.25, 3.0)]:
+        bwd, _ = make_affine(center, center, jnp.float32(angle),
+                             jnp.float32(scale),
+                             jnp.asarray([tx, -tx], jnp.float32), False)
+        a = np.asarray(affine_warp(img, bwd, (H, W)))
+        b = np.asarray(affine_warp_separable(img, bwd, (H, W)))
+        # two-pass separable filtering differs slightly from direct
+        # bilinear under rotation; bf16 weights add ~4e-3
+        assert np.abs(a - b).mean() < 0.02, (angle, scale)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
+
+
+def test_separable_warp_identity_exact():
+    import jax.numpy as jnp
+
+    from ppn_tpu.ops.image import affine_warp_separable
+
+    cfg = get_config("tiny_test")
+    s = _one_sample(cfg)
+    img = jnp.asarray(s["image"])
+    ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = np.asarray(affine_warp_separable(img, ident, img.shape[:2]))
+    np.testing.assert_allclose(out, s["image"], atol=1e-5)
+
+
 def test_augment_batch_shapes_and_jit():
     cfg = get_config("tiny_test")
     ds = SyntheticPoseDataset(cfg, size=4, seed=5)
