@@ -103,7 +103,10 @@ def bench_train_step(batch: int = 32) -> Dict:
     batch_dev = shard_batch(mesh, {k: batch_np[k] for k in (
         "image", "keypoints", "visible", "bboxes", "valid")})
 
-    state, _ = step(state, batch_dev)            # compile
+    state, out0 = step(state, batch_dev)
+    # force compile+first-run completion: this backend compiles
+    # asynchronously, so an unsynced warmup leaks compile time into the loop
+    jax.device_get(out0["loss_total"])
 
     import time
 
@@ -112,7 +115,6 @@ def bench_train_step(batch: int = 32) -> Dict:
     iters = 20
     for _ in range(iters):
         s, out = step(s, batch_dev)
-    jax.block_until_ready(out)
     jax.device_get(out["loss_total"])
     t = (time.perf_counter() - t0) / iters
     return {"config": "3_train_step",

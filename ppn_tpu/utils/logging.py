@@ -15,13 +15,22 @@ from typing import Dict, Optional
 
 class MetricLogger:
     def __init__(self, logdir: Optional[str] = None, stdout: bool = True,
-                 name: str = "train"):
+                 name: str = "train", tensorboard: bool = False):
         self.stdout = stdout
         self._fh = None
+        self._tb = None
         if logdir:
             os.makedirs(logdir, exist_ok=True)
             self._fh = open(os.path.join(logdir, f"{name}_metrics.jsonl"),
                             "a", buffering=1)
+            if tensorboard:
+                try:
+                    import tensorflow as tf
+
+                    self._tb = tf.summary.create_file_writer(
+                        os.path.join(logdir, "tb", name))
+                except Exception as e:  # TF optional
+                    print(f"tensorboard writer unavailable: {e}")
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
@@ -29,6 +38,12 @@ class MetricLogger:
         rec.update({k: float(v) for k, v in metrics.items()})
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(k, float(v), step=int(step))
         if self.stdout:
             parts = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -38,3 +53,5 @@ class MetricLogger:
     def close(self) -> None:
         if self._fh:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
