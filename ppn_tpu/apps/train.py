@@ -42,9 +42,11 @@ def make_datasets(cfg, args):
         from ppn_tpu.data.synthetic import SyntheticPoseDataset
 
         n = args.overfit or 1024
-        train = SyntheticPoseDataset(cfg, size=n, seed=cfg.train.seed)
+        train = SyntheticPoseDataset(cfg, size=n, seed=cfg.train.seed,
+                                     cache=True)
         val = (train if args.overfit
-               else SyntheticPoseDataset(cfg, size=128, seed=10_000))
+               else SyntheticPoseDataset(cfg, size=128, seed=10_000,
+                                         cache=True))
         return train, val
     if args.data == "mpii":
         from ppn_tpu.data.mpii import make_mpii_datasets
@@ -88,7 +90,8 @@ def main(argv=None):
 
     train_ds, val_ds = make_datasets(cfg, args)
     batches = infinite_batches(train_ds, cfg.train.batch_size,
-                               seed=cfg.train.seed)
+                               seed=cfg.train.seed,
+                               image_uint8=cfg.data.transfer_uint8)
     # --overfit memorizes fixed samples; augmentation would defeat that.
     augment = False if args.overfit else None
     trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir,

@@ -150,6 +150,14 @@ class PPNConfig:
     # "exp" is the YOLOv2-style alternative named in BASELINE.json.
     size_activation: str = "sigmoid"
 
+    # Limb-loss masking (SURVEY.md §2.1: "limb term masked to annotated
+    # pairs", the lineage max_delta_ij weighting). "paired" penalizes limb
+    # logits only where an endpoint part exists — without it the ~200k
+    # all-zero entries crush the sparse positives into sigmoid-MSE
+    # saturation and the limb head never learns. "all" keeps the unmasked
+    # variant.
+    limb_loss_mode: str = "paired"
+
     # Backbone selection (reference: truncated torchvision resnet18,
     # ref:model.py†).
     backbone: str = "resnet18"
@@ -248,6 +256,9 @@ class DataConfig:
     color_jitter: float = 0.2
     num_workers: int = 8
     prefetch: int = 4
+    # quantize images to uint8 for host→device transport (4× less traffic;
+    # source image data is 8-bit anyway) — normalized on device
+    transfer_uint8: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

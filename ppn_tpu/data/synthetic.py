@@ -116,19 +116,33 @@ class SyntheticPoseDataset:
     """
 
     def __init__(self, cfg: Config, size: int = 1024, seed: int = 0,
-                 num_persons: int | None = None):
+                 num_persons: int | None = None, cache: bool = False):
         self.cfg = cfg
         self.size = size
         self.seed = seed
         self.num_persons = num_persons
+        # Rendering costs ~15 ms/image on host; caching (uint8 pixels) keeps
+        # multi-epoch training device-bound instead of render-bound.
+        self._cache: Dict[int, Dict[str, np.ndarray]] | None = (
+            {} if cache else None)
 
     def __len__(self) -> int:
         return self.size
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        idx = idx % self.size
+        if self._cache is not None and idx in self._cache:
+            c = self._cache[idx]
+            out = dict(c)
+            out["image"] = c["image"].astype(np.float32) / 255.0
+            return out
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, idx % self.size]))
+            np.random.SeedSequence([self.seed, idx]))
         sample = random_people(
             rng, self.cfg.model, self.cfg.data.max_persons, self.num_persons)
         sample["image"] = render(self.cfg.model, sample)
+        if self._cache is not None:
+            cached = dict(sample)
+            cached["image"] = (sample["image"] * 255).astype(np.uint8)
+            self._cache[idx] = cached
         return sample

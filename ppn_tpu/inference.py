@@ -60,7 +60,7 @@ class Predictor:
 
     # ---- inference ---------------------------------------------------------
     def predict(self, images: np.ndarray) -> People:
-        """(B, H, W, 3) float32 [0,1] at cfg insize → host People."""
+        """(B, H, W, 3) float32 [0,1] or uint8, at cfg insize → host People."""
         if images.ndim != 4:
             raise ValueError(f"expected (B, H, W, 3), got {images.shape}")
         if images.shape[1:3] != tuple(self.cfg.model.insize):
@@ -68,9 +68,9 @@ class Predictor:
                 f"images are {images.shape[1:3]}, config expects "
                 f"{self.cfg.model.insize}; resize first "
                 "(ppn_tpu.ops.image.resize_bilinear or the native loader)")
-        return jax.device_get(
-            self._run(self._params, self._rest,
-                      images.astype(np.float32)))
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+        return jax.device_get(self._run(self._params, self._rest, images))
 
     def predict_single(self, image: np.ndarray) -> People:
         ppl = self.predict(image[None])

@@ -52,6 +52,9 @@ class PoseProposalNet(nnx.Module):
                             rngs=rngs)
 
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        if images.dtype == jnp.uint8:
+            # uint8 transport: 4× less host→device traffic; normalize here
+            images = images.astype(jnp.float32) / 255.0
         mean = jnp.asarray(self.MEAN, images.dtype)
         std = jnp.asarray(self.STD, images.dtype)
         x = (images - mean) / std

@@ -1,3 +1,13 @@
-from ppn_tpu.ops import boxes, decode, encode, nms, parse, postprocess
+from ppn_tpu.ops import (
+    augment,
+    boxes,
+    decode,
+    encode,
+    image,
+    nms,
+    parse,
+    postprocess,
+)
 
-__all__ = ["boxes", "decode", "encode", "nms", "parse", "postprocess"]
+__all__ = ["augment", "boxes", "decode", "encode", "image", "nms", "parse",
+           "postprocess"]

@@ -47,6 +47,8 @@ def augment_single(
     valid: jnp.ndarray,      # (P,)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     H, W = cfg.insize
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) / 255.0
     k_rot, k_scale, k_trans, k_flip, k_bright, k_contrast = (
         jax.random.split(key, 6))
 

@@ -23,8 +23,6 @@ Semantics match ops/postprocess.py exactly; tests compare elementwise.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,7 +51,6 @@ def _make_kernel(cfg: PPNConfig):
     det_t = cfg.detection_thresh
     nms_t = cfg.nms_thresh
     dst_of = [d for _, d in cfg.edges]
-    src_of = [s for s, _ in cfg.edges]
 
     # Static neighbor table: nbr[j, n] = flat index of the j-th window
     # neighbor of cell n (or -1 out of bounds).
@@ -127,10 +124,6 @@ def _make_kernel(cfg: PPNConfig):
         def to_row(col):
             """(N, 1) → (1, N) without tpu.transpose (relayout-free)."""
             return jnp.sum(eye * col, axis=0, keepdims=True)
-
-        def to_col(row):
-            """(1, N) → (N, 1) without tpu.transpose."""
-            return jnp.sum(eye * row, axis=1, keepdims=True)
 
         Ms = []
         for c in range(K1):

@@ -30,6 +30,28 @@ from ppn_tpu.ops import decode as dec
 from ppn_tpu.ops.encode import TargetGrids
 
 
+def limb_mask(cfg: PPNConfig, delta: jnp.ndarray) -> jnp.ndarray:
+    """(…, H', W', K+1) responsibility → (…, H', W', L, H_l, W_l) limb-loss
+    weights: 1 where the source part sits in the cell OR the destination
+    part sits in the window-offset cell (max(δ_src, δ_dst), the lineage
+    max_delta_ij mask)."""
+    H, W = cfg.outsize
+    Hl, Wl = cfg.local_grid_size
+    ch, cw = Hl // 2, Wl // 2
+    src = jnp.asarray([s for s, _ in cfg.edges])
+    dst = jnp.asarray([d for _, d in cfg.edges])
+
+    d_src = delta[..., src]                                  # (..., H, W, L)
+    d_dst = delta[..., dst]
+    pad = [(0, 0)] * (d_dst.ndim - 3) + [(ch, ch), (cw, cw), (0, 0)]
+    padded = jnp.pad(d_dst, pad)
+    windows = jnp.stack(
+        [padded[..., dy:dy + H, dx:dx + W, :] for dy in range(Hl)
+         for dx in range(Wl)], axis=-1)            # (..., H, W, L, Hl·Wl)
+    windows = windows.reshape(*windows.shape[:-1], Hl, Wl)
+    return jnp.maximum(d_src[..., None, None], windows)
+
+
 def ppn_loss(
     cfg: PPNConfig,
     feature_map: jnp.ndarray,   # (B, H', W', C) pre-activation head output
@@ -73,7 +95,16 @@ def ppn_loss(
                    jnp.sqrt(jnp.maximum(act.h, eps)))))
 
     # --- limbs -------------------------------------------------------------
-    loss_limb = jnp.sum(jnp.square(targets.te.astype(jnp.float32) - act.e))
+    limb_sq = jnp.square(targets.te.astype(jnp.float32) - act.e)
+    if cfg.limb_loss_mode == "paired":
+        # mask to entries where either endpoint part exists (the lineage
+        # max_delta_ij weighting): without it the dense zero targets crush
+        # the sparse positives into sigmoid-MSE saturation
+        loss_limb = jnp.sum(limb_mask(cfg, delta) * limb_sq)
+    elif cfg.limb_loss_mode == "all":
+        loss_limb = jnp.sum(limb_sq)
+    else:
+        raise ValueError(f"unknown limb_loss_mode {cfg.limb_loss_mode!r}")
 
     inv_b = 1.0 / B
     terms = {

@@ -37,8 +37,18 @@ class Trainer:
         self.val_dataset = val_dataset
         self.logger = MetricLogger(logdir)
 
-        self.mesh = make_mesh(cfg.train.mesh_shape,
-                              cfg.train.mesh_axes) if use_mesh else None
+        if use_mesh:
+            shape = cfg.train.mesh_shape
+            if shape == (-1,):
+                # default data mesh: largest device count dividing the batch
+                n = len(jax.devices())
+                while cfg.train.batch_size % n:
+                    n -= 1
+                shape = (n,)
+            self.mesh = make_mesh(shape, cfg.train.mesh_axes,
+                                  devices=jax.devices()[:int(np.prod(shape))])
+        else:
+            self.mesh = None
         self.graphdef, state, self.tx = st.create_train_state(cfg)
         if self.mesh is not None:
             state = replicate(self.mesh, state)

@@ -1,0 +1,67 @@
+"""Checkpoint save/restore round trip + Trainer resume (SURVEY.md §5)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs import get_config
+from ppn_tpu.data.pipeline import infinite_batches
+from ppn_tpu.data.synthetic import SyntheticPoseDataset
+from ppn_tpu.train.checkpoint import Checkpointer
+from ppn_tpu.train import steps as st
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = get_config("tiny_test")
+    graphdef, state, tx = st.create_train_state(cfg)
+    ck = Checkpointer(str(tmp_path / "ck"), async_save=False)
+    ck.save(3, jax.device_get(state))
+    ck.wait()
+
+    graphdef2, template, _ = st.create_train_state(cfg, seed=99)
+    restored = ck.restore_latest(jax.device_get(template))
+    assert restored is not None
+    step, rstate = restored
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(rstate.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ck.close()
+
+
+def test_trainer_resume(tmp_path):
+    from ppn_tpu.train.trainer import Trainer
+
+    cfg = get_config("tiny_test")
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, num_steps=6, checkpoint_every=3, eval_every=0,
+        checkpoint_dir=str(tmp_path / "ck"), log_every=100))
+    ds = SyntheticPoseDataset(cfg, size=4, seed=0)
+
+    t1 = Trainer(cfg, infinite_batches(ds, cfg.train.batch_size),
+                 augment=False)
+    t1.run()
+    assert t1.step == 6
+    params_after = jax.device_get(t1.state.params)
+    t1.close()
+
+    # a fresh trainer resumes from step 6 and does no extra work
+    t2 = Trainer(cfg, infinite_batches(ds, cfg.train.batch_size),
+                 augment=False)
+    assert t2.step == 6
+    for a, b in zip(jax.tree.leaves(params_after),
+                    jax.tree.leaves(jax.device_get(t2.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.close()
+
+
+def test_grain_loader_fallback_shapes():
+    from ppn_tpu.data.pipeline import make_grain_loader
+
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=8, seed=0)
+    it = make_grain_loader(ds, batch_size=4, seed=0, num_epochs=1)
+    batches = list(it)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, *cfg.model.insize, 3)

@@ -61,6 +61,23 @@ def _numpy_oracle(m, fm, t):
     iou = inter / union
 
     eps = 1e-6
+    limb_sq = (np.asarray(t.te) - e) ** 2
+    if m.limb_loss_mode == "paired":
+        ch, cw = Hl // 2, Wl // 2
+        mask = np.zeros_like(limb_sq)
+        for l, (s_c, d_c) in enumerate(m.edges):
+            for dy in range(Hl):
+                for dx in range(Wl):
+                    for yy in range(H):
+                        for xx in range(W):
+                            y2, x2 = yy + dy - ch, xx + dx - cw
+                            dd = (delta[:, y2, x2, d_c]
+                                  if 0 <= y2 < H and 0 <= x2 < W else 0.0)
+                            mask[:, yy, xx, l, dy, dx] = np.maximum(
+                                delta[:, yy, xx, s_c], dd)
+        limb = np.sum(mask * limb_sq)
+    else:
+        limb = np.sum(limb_sq)
     terms = {
         "loss_resp": np.sum((delta - resp) ** 2),
         "loss_iou": np.sum(delta * (iou - conf) ** 2),
@@ -71,7 +88,7 @@ def _numpy_oracle(m, fm, t):
              np.sqrt(np.maximum(w, eps))) ** 2 +
             (np.sqrt(np.maximum(np.asarray(t.th), eps)) -
              np.sqrt(np.maximum(h, eps))) ** 2)),
-        "loss_limb": np.sum((np.asarray(t.te) - e) ** 2),
+        "loss_limb": limb,
     }
     return {k: v / B for k, v in terms.items()}
 
@@ -97,6 +114,20 @@ def test_loss_matches_numpy_oracle(cfg):
               + m.lambda_size * golden["loss_size"]
               + m.lambda_limb * golden["loss_limb"])
     np.testing.assert_allclose(float(total), expect, rtol=2e-4)
+
+
+def test_loss_all_mode_matches_oracle():
+    import dataclasses
+
+    cfg = get_config("tiny_test")
+    m = dataclasses.replace(cfg.model, limb_loss_mode="all")
+    t = _targets(cfg)
+    rng = np.random.default_rng(9)
+    fm = rng.normal(0, 1.5, (2, *m.outsize, m.num_channels)).astype(np.float32)
+    _, terms = ppn_loss(m, jnp.asarray(fm), t)
+    golden = _numpy_oracle(m, fm, t)
+    np.testing.assert_allclose(float(terms["loss_limb"]),
+                               golden["loss_limb"], rtol=2e-4)
 
 
 def test_perfect_prediction_near_zero_loss(cfg):

@@ -30,13 +30,13 @@ def test_overfit_tiny():
 
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(
-            cfg.train, num_steps=150, warmup_steps=10, learning_rate=0.02,
+            cfg.train, num_steps=100, warmup_steps=10, learning_rate=0.02,
             lr_schedule="cosine"))
     train_step = st.make_train_step(cfg, graphdef, tx)
 
     first = None
     terms = {}
-    for i in range(150):
+    for i in range(100):
         state, terms = train_step(state, batch)
         if first is None:
             first = float(terms["loss_total"])
