@@ -32,6 +32,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--overfit", type=int, default=None, metavar="N",
                    help="restrict training to N fixed samples "
                         "(the SURVEY.md §7.4 minimum slice)")
+    p.add_argument("--num-persons", type=int, default=None,
+                   help="synthetic data: fixed persons per image "
+                        "(default: random 1..max_persons)")
     p.add_argument("--eval-every", type=int, default=None)
     return p
 
@@ -42,11 +45,12 @@ def make_datasets(cfg, args):
         from ppn_tpu.data.synthetic import SyntheticPoseDataset
 
         n = args.overfit or 1024
+        np_ = getattr(args, "num_persons", None)
         train = SyntheticPoseDataset(cfg, size=n, seed=cfg.train.seed,
-                                     cache=True)
+                                     cache=True, num_persons=np_)
         val = (train if args.overfit
                else SyntheticPoseDataset(cfg, size=128, seed=10_000,
-                                         cache=True))
+                                         cache=True, num_persons=np_))
         return train, val
     if args.data == "mpii":
         from ppn_tpu.data.mpii import make_mpii_datasets

@@ -23,7 +23,12 @@ def random_people(
     max_persons: int,
     num_persons: int | None = None,
 ) -> Dict[str, np.ndarray]:
-    """Sample GT for one image: joints scattered inside a random person box.
+    """Sample GT for one image: skeleton-aware random stick figures.
+
+    Joints are placed by walking the config's limb tree with bounded step
+    sizes, so limb endpoints stay within the PPN local window (the locality
+    assumption real anatomy satisfies — uniformly scattered joints would
+    make many limbs unparseable by construction).
 
     Returns the (keypoints, visible, bboxes, valid) contract of
     ops/encode.py, padded to `max_persons` slots.
@@ -40,15 +45,34 @@ def random_people(
     bboxes = np.zeros((P, 4), np.float32)
     valid = np.zeros((P,), bool)
 
+    # limb step ceiling: stay well inside the local window reach
+    hl, wl = cfg.local_grid_size
+    sy, sx = cfg.stride
+    max_step = 0.8 * min((hl // 2) * sy, (wl // 2) * sx)
+
+    placed: list = []  # (cx, cy, side) — avoid heavy person overlap, which
+    # would NMS-suppress whole instances (real scenes rarely overlap so)
     for p in range(num_persons):
         side = rng.uniform(0.25, 0.6) * min(img_h, img_w)
         cx = rng.uniform(side / 2, img_w - side / 2)
         cy = rng.uniform(side / 2, img_h - side / 2)
-        w = side * rng.uniform(0.6, 1.0)
-        h = side
-        pts = np.stack(
-            [rng.uniform(cx - w / 2, cx + w / 2, size=K),
-             rng.uniform(cy - h / 2, cy + h / 2, size=K)], axis=-1)
+        for _ in range(12):
+            if all(np.hypot(cx - ox, cy - oy) > 0.45 * (side + os_)
+                   for ox, oy, os_ in placed):
+                break
+            cx = rng.uniform(side / 2, img_w - side / 2)
+            cy = rng.uniform(side / 2, img_h - side / 2)
+        placed.append((cx, cy, side))
+        # walk the limb tree from the instance center with bounded steps
+        pos = np.zeros((K + 1, 2), np.float32)
+        pos[0] = (cx, cy)
+        for s, d in cfg.edges:
+            step = min(rng.uniform(0.08, 0.3) * side, max_step)
+            ang = rng.uniform(0, 2 * np.pi)
+            pos[d] = pos[s] + step * np.asarray(
+                [np.cos(ang), np.sin(ang)])
+        pts = np.clip(pos[1:], [2.0, 2.0],
+                      [img_w - 3.0, img_h - 3.0]).astype(np.float32)
         vis = rng.random(K) < 0.85
         if not vis.any():
             vis[int(rng.integers(K))] = True

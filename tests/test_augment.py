@@ -6,7 +6,7 @@ import jax
 import numpy as np
 
 from ppn_tpu.configs import get_config
-from ppn_tpu.data.synthetic import SyntheticPoseDataset, _class_colors
+from ppn_tpu.data.synthetic import SyntheticPoseDataset
 from ppn_tpu.ops.augment import augment_batch, augment_single
 
 
@@ -63,13 +63,12 @@ def test_flip_mirrors_pixels_and_swaps_classes():
 
 
 def test_random_augment_keeps_gt_on_rendered_joints():
-    """After a random warp, each visible keypoint must still sit on its
-    class-colored disk in the warped image (pixels and GT move together)."""
+    """Pixels and GT move together: the warped image at each transformed
+    keypoint matches the original image at the original keypoint."""
     cfg = get_config("mpii_r18_384")
     m = cfg.model
     s = _one_sample(cfg)
     dcfg = dataclasses.replace(cfg.data, hflip_prob=0.0, color_jitter=0.0)
-    colors = _class_colors(m.num_keypoints)
 
     matches = total = 0
     for seed in range(4):
@@ -86,12 +85,14 @@ def test_random_augment_keeps_gt_on_rendered_joints():
             xi, yi = int(round(x)), int(round(y))
             if not (0 <= xi < img.shape[1] and 0 <= yi < img.shape[0]):
                 continue
+            x0, y0 = s["keypoints"][0, k]
+            orig = s["image"][int(round(y0)), int(round(x0))]
             total += 1
-            if np.linalg.norm(img[yi, xi] - colors[k]) < 0.35:
+            # bilinear smoothing blurs near disk edges; centers match
+            if np.linalg.norm(img[yi, xi] - orig) < 0.35:
                 matches += 1
     assert total > 10
-    # disks can overlap/overdraw each other, so demand a strong majority
-    assert matches / total > 0.7, (matches, total)
+    assert matches / total > 0.8, (matches, total)
 
 
 def test_separable_warp_matches_gather_warp():
