@@ -24,11 +24,11 @@ from ppn_tpu.nn.resnet import ConvBN, ResNet
 def _set_convbn(cb: ConvBN, sd: Mapping[str, np.ndarray], conv_key: str,
                 bn_key: str) -> None:
     w = np.asarray(sd[f"{conv_key}.weight"])         # (O, I, kh, kw)
-    cb.conv.kernel.value = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-    cb.bn.scale.value = np.asarray(sd[f"{bn_key}.weight"], np.float32)
-    cb.bn.bias.value = np.asarray(sd[f"{bn_key}.bias"], np.float32)
-    cb.bn.mean.value = np.asarray(sd[f"{bn_key}.running_mean"], np.float32)
-    cb.bn.var.value = np.asarray(sd[f"{bn_key}.running_var"], np.float32)
+    cb.conv.kernel[...] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
+    cb.bn.scale[...] = np.asarray(sd[f"{bn_key}.weight"], np.float32)
+    cb.bn.bias[...] = np.asarray(sd[f"{bn_key}.bias"], np.float32)
+    cb.bn.mean[...] = np.asarray(sd[f"{bn_key}.running_mean"], np.float32)
+    cb.bn.var[...] = np.asarray(sd[f"{bn_key}.running_var"], np.float32)
 
 
 def load_torch_resnet(backbone: ResNet, state_dict: Mapping[str, np.ndarray],

@@ -44,7 +44,7 @@ def test_batchnorm_updates_in_train_mode():
     cfg = get_config("tiny_test").model
     model = PoseProposalNet(cfg, rngs=nnx.Rngs(0))
     model.train()
-    before = np.asarray(model.backbone.stem.bn.mean.value).copy()
+    before = np.asarray(model.backbone.stem.bn.mean[...]).copy()
     model(jnp.ones((2, *cfg.insize, 3), jnp.float32))
-    after = np.asarray(model.backbone.stem.bn.mean.value)
+    after = np.asarray(model.backbone.stem.bn.mean[...])
     assert not np.array_equal(before, after)

@@ -53,13 +53,13 @@ def test_conversion_consumes_everything_and_transposes():
     assert used == 5 + 8 * 10 + 3 * 5
     # OIHW → HWIO spot checks
     np.testing.assert_allclose(
-        np.asarray(bb.stem.conv.kernel.value),
+        np.asarray(bb.stem.conv.kernel[...]),
         np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
     np.testing.assert_allclose(
-        np.asarray(bb.blocks[2].proj.conv.kernel.value),
+        np.asarray(bb.blocks[2].proj.conv.kernel[...]),
         np.transpose(sd["layer2.0.downsample.0.weight"], (2, 3, 1, 0)))
     np.testing.assert_allclose(
-        np.asarray(bb.blocks[7].conv2.bn.var.value),
+        np.asarray(bb.blocks[7].conv2.bn.var[...]),
         sd["layer4.1.bn2.running_var"])
 
 
