@@ -99,8 +99,7 @@ def main(argv=None):
     image = load_image(cfg, args)
     forward = st.make_forward(cfg, graphdef)
     fm = forward(state, image[None])
-    people = jax.jit(post.postprocess_batch_fast_fn,
-                     static_argnums=0)(cfg.model, fm)
+    people = post.postprocess_batch_fast(cfg.model, fm)
     people = jax.device_get(jax.tree.map(lambda x: x[0], people))
 
     print(json.dumps(people_to_json(cfg, people), indent=1))

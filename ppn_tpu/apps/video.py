@@ -52,7 +52,6 @@ def make_video_pipeline(cfg, graphdef):
 def synthetic_frames(n: int, size=(720, 1280), seed: int = 0):
     """Deterministic 720p frames with a moving stick figure."""
     from ppn_tpu.data.synthetic import SyntheticPoseDataset
-    from ppn_tpu.configs.base import PPNConfig
     import dataclasses
 
     from ppn_tpu.configs import get_config as gc

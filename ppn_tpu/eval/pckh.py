@@ -13,7 +13,7 @@ per-image compute is trivial next to the on-device forward/parse.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

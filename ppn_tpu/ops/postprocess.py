@@ -51,3 +51,7 @@ def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map) -> People:
 
         return postprocess_batch_pallas(cfg, feature_map)
     return postprocess_batch_fn(cfg, feature_map)
+
+
+postprocess_batch_fast = partial(jax.jit, static_argnums=0)(
+    postprocess_batch_fast_fn)

@@ -11,7 +11,7 @@ import jax
 import numpy as np
 
 from ppn_tpu.configs.base import Config
-from ppn_tpu.eval.pckh import PCKhEvaluator, headsize_from_bbox
+from ppn_tpu.eval.pckh import PCKhEvaluator
 from ppn_tpu.ops import postprocess as post
 from ppn_tpu.parallel import make_mesh, replicate, shard_batch
 from ppn_tpu.train import steps as st
@@ -116,7 +116,7 @@ class Trainer:
         for batch in epoch_batches(self.val_dataset, bs, rng=rng,
                                    shuffle=False):
             fm = self.forward(self.state, batch["image"])
-            people = post.postprocess_batch(self.cfg.model, fm)
+            people = post.postprocess_batch_fast(self.cfg.model, fm)
             people_np = jax.device_get(people)
             for i in range(batch["image"].shape[0]):
                 one = jax.tree.map(lambda x: x[i], people_np)

@@ -14,7 +14,7 @@ Weights are artifacts, not code — this is data conversion, not a port.
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Mapping
 
 import numpy as np
 

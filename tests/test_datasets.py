@@ -1,7 +1,6 @@
 """MPII/COCO parser tests against generated fixture annotation files."""
 
 import json
-import os
 
 import numpy as np
 import pytest

@@ -2,11 +2,10 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from flax import nnx
 
 from ppn_tpu.configs import get_config
-from ppn_tpu.nn import PoseProposalNet, num_params
+from ppn_tpu.nn import PoseProposalNet
 
 
 def test_tiny_forward_shapes():

@@ -4,7 +4,6 @@ import sys
 
 import jax
 import numpy as np
-import pytest
 
 
 def test_mesh_helpers():
