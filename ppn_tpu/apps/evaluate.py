@@ -30,16 +30,14 @@ def main(argv=None):
     cfg = get_config(args.config)
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.apps.train import make_datasets
-    from ppn_tpu.data.pipeline import epoch_batches
-    from ppn_tpu.eval.pckh import PCKhEvaluator
-    from ppn_tpu.ops import postprocess as post
+    from ppn_tpu.eval.runner import evaluate_pckh
     from ppn_tpu.train import steps as st
-    from ppn_tpu.train.trainer import synthetic_headsizes
 
     class _A:
         data = args.data
         data_root = args.data_root
         overfit = None
+        num_persons = None
 
     _, val = make_datasets(cfg, _A)
     if val is None:
@@ -47,26 +45,10 @@ def main(argv=None):
 
     graphdef, state = load_state(cfg, args.ckpt_dir)
     forward = st.make_forward(cfg, graphdef)
-
-    ev = PCKhEvaluator(cfg.model)
-    seen = 0
-    for batch in epoch_batches(val, args.batch_size,
-                               rng=np.random.default_rng(0), shuffle=False):
-        fm = forward(state, batch["image"])
-        people = jax.device_get(
-            post.postprocess_batch(cfg.model, fm))
-        for i in range(batch["image"].shape[0]):
-            one = jax.tree.map(lambda x: x[i], people)
-            hs = (batch["headsizes"][i] if "headsizes" in batch
-                  else synthetic_headsizes(batch["bboxes"][i]))
-            ev.add_image(one, batch["keypoints"][i], batch["visible"][i],
-                         batch["bboxes"][i], batch["valid"][i], hs)
-        seen += batch["image"].shape[0]
-        if seen >= args.max_images:
-            break
-
-    print(json.dumps({k: round(v, 4) for k, v in ev.summarize().items()},
-                     indent=1))
+    summary = evaluate_pckh(cfg, forward, state, val,
+                            max_images=args.max_images,
+                            batch_size=args.batch_size)
+    print(json.dumps({k: round(v, 4) for k, v in summary.items()}, indent=1))
 
 
 if __name__ == "__main__":

@@ -204,12 +204,21 @@ class PPNConfig:
         if hl % 2 == 0 or wl % 2 == 0:
             raise ValueError("local_grid_size must be odd")
         seen = {0}
+        k1 = self.num_classes
         for s, d in self.edges:
+            if not (0 <= s < k1 and 0 < d < k1):
+                raise ValueError(
+                    f"edge ({s},{d}) out of range for {k1} classes — "
+                    "when overriding keypoint_names, override edges (and "
+                    "flip_pairs) consistently")
             if s not in seen:
                 raise ValueError(
                     f"edges must be topologically ordered from instance; "
                     f"edge ({s},{d}) has unseen source")
             seen.add(d)
+        for a, b in self.flip_pairs:
+            if not (0 < a < k1 and 0 < b < k1):
+                raise ValueError(f"flip pair ({a},{b}) out of range")
 
 
 @dataclasses.dataclass(frozen=True)

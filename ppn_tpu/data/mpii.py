@@ -89,10 +89,13 @@ class MPIIDataset:
         if "headbox" in rec:
             hb = np.asarray(rec["headbox"], np.float32)
             headsize = 0.6 * float(np.hypot(hb[2] - hb[0], hb[3] - hb[1]))
-        else:
+        elif vis[8] and vis[9]:
             # fallback: head segment length (head_top ↔ upper_neck)
-            ht, un = joints[9], joints[8]
-            headsize = float(np.hypot(*(ht - un))) or 1.0
+            headsize = float(np.hypot(*(joints[9] - joints[8])))
+        else:
+            # unannotated head joints are sentinel coords — signal the
+            # caller to derive a bbox-based headsize instead
+            headsize = 0.0
         return joints, vis, headsize
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -130,7 +133,8 @@ class MPIIDataset:
             visible[p] = kvis
             bboxes[p] = ((x0 + x1) / 2, (y0 + y1) / 2, bw, bh)
             valid[p] = True
-            headsizes[p] = headsize * (sx + sy) / 2
+            headsizes[p] = (headsize * (sx + sy) / 2 if headsize > 0
+                            else 0.2 * float(np.hypot(bw, bh)))
 
         return {
             "image": np.asarray(img, np.float32) / 255.0,

@@ -59,12 +59,23 @@ def epoch_batches(dataset, batch_size: int, *, rng: np.random.Generator,
 def infinite_batches(dataset, batch_size: int, *, seed: int = 0,
                      shuffle: bool = True, image_uint8: bool = False
                      ) -> Iterator[Dict[str, np.ndarray]]:
-    """Endless stream of epochs (the train-loop feed)."""
+    """Endless stream of epochs (the train-loop feed).
+
+    Datasets smaller than the batch are sampled with replacement (the
+    overfit path), instead of drop_remainder yielding zero batches.
+    """
     epoch = 0
+    small = len(dataset) < batch_size
     while True:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-        yield from epoch_batches(dataset, batch_size, rng=rng,
-                                 shuffle=shuffle, image_uint8=image_uint8)
+        if small:
+            idx = rng.choice(len(dataset), size=batch_size, replace=True)
+            yield collate([dataset[int(j)] for j in idx],
+                          image_uint8=image_uint8)
+        else:
+            yield from epoch_batches(dataset, batch_size, rng=rng,
+                                     shuffle=shuffle,
+                                     image_uint8=image_uint8)
         epoch += 1
 
 

@@ -156,17 +156,19 @@ class SyntheticPoseDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         idx = idx % self.size
         if self._cache is not None and idx in self._cache:
-            c = self._cache[idx]
-            out = dict(c)
-            out["image"] = c["image"].astype(np.float32) / 255.0
-            return out
+            return dict(self._cache[idx])
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, idx]))
         sample = random_people(
             rng, self.cfg.model, self.cfg.data.max_persons, self.num_persons)
         sample["image"] = render(self.cfg.model, sample)
         if self._cache is not None:
+            # store (and serve) uint8 pixels — same rounding as collate's
+            # transport quantization, and no per-access float round trip;
+            # all consumers (model/augment/collate) accept uint8 images
             cached = dict(sample)
-            cached["image"] = (sample["image"] * 255).astype(np.uint8)
+            cached["image"] = np.clip(
+                sample["image"] * 255.0 + 0.5, 0, 255).astype(np.uint8)
             self._cache[idx] = cached
+            return dict(cached)
         return sample

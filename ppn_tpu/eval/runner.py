@@ -1,0 +1,47 @@
+"""Shared evaluation loop (used by Trainer.evaluate and the evaluate CLI)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ppn_tpu.configs.base import Config
+from ppn_tpu.eval.pckh import PCKhEvaluator
+from ppn_tpu.ops import postprocess as post
+
+
+def synthetic_headsizes(bboxes: np.ndarray) -> np.ndarray:
+    """Pseudo head-segment size for data without head boxes: the
+    keypoint-box scale (0.2 · instance diagonal)."""
+    return 0.2 * np.hypot(bboxes[..., 2], bboxes[..., 3])
+
+
+def evaluate_pckh(cfg: Config, forward, state, dataset,
+                  max_images: int = 256,
+                  batch_size: Optional[int] = None) -> Dict[str, float]:
+    """PCKh@0.5 over (a slice of) a dataset (SURVEY.md §3.4).
+
+    `forward(state, images) -> feature map` is the jitted model forward.
+    """
+    from ppn_tpu.data.pipeline import epoch_batches
+
+    bs = batch_size or min(cfg.train.batch_size, 8)
+    ev = PCKhEvaluator(cfg.model)
+    seen = 0
+    rng = np.random.default_rng(0)
+    for batch in epoch_batches(dataset, bs, rng=rng, shuffle=False):
+        fm = forward(state, batch["image"])
+        people = jax.device_get(
+            post.postprocess_batch_fast(cfg.model, fm))
+        for i in range(batch["image"].shape[0]):
+            one = jax.tree.map(lambda x: x[i], people)
+            hs = (batch["headsizes"][i] if "headsizes" in batch
+                  else synthetic_headsizes(batch["bboxes"][i]))
+            ev.add_image(one, batch["keypoints"][i], batch["visible"][i],
+                         batch["bboxes"][i], batch["valid"][i], hs)
+        seen += batch["image"].shape[0]
+        if seen >= max_images:
+            break
+    return ev.summarize()

@@ -99,16 +99,18 @@ def encode_single(
     ix_s = jnp.where(ok, ix, W)
     cls = jax.lax.broadcasted_iota(jnp.int32, (P, K1), 1)
 
-    def scatter(vals: jnp.ndarray) -> jnp.ndarray:
-        grid = jnp.zeros((H + 1, W + 1, K1), jnp.float32)
-        return grid.at[iy_s, ix_s, cls].set(vals)[:H, :W, :]
-
     delta = jnp.zeros((H + 1, W + 1, K1), jnp.float32)
     delta = delta.at[iy_s, ix_s, cls].max(ok.astype(jnp.float32))[:H, :W, :]
-    tx = scatter(gx - ix)
-    ty = scatter(gy - iy)
-    tw = scatter(sizes[..., 0] / img_w)
-    th = scatter(sizes[..., 1] / img_h)
+
+    # One combined scatter for the box fields: with duplicate indices the
+    # winner is unspecified but CONSISTENT across tx/ty/tw/th, so a cell
+    # never mixes fields from two different persons.
+    box_vals = jnp.stack(
+        [gx - ix, gy - iy, sizes[..., 0] / img_w, sizes[..., 1] / img_h],
+        axis=-1)                                                 # (P, K1, 4)
+    boxes_grid = jnp.zeros((H + 1, W + 1, K1, 4), jnp.float32)
+    boxes_grid = boxes_grid.at[iy_s, ix_s, cls].set(box_vals)[:H, :W]
+    tx, ty, tw, th = (boxes_grid[..., i] for i in range(4))
 
     # ---- limb connectivity te ---------------------------------------------
     src = jnp.asarray([e[0] for e in cfg.edges], jnp.int32)   # (L,)

@@ -122,7 +122,6 @@ def make_affine(center_in, center_out, angle_rad, scale, translate,
     b = -scale * sin
     c = scale * sin * fsign
     d = scale * cos
-    fwd = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     fwd = jnp.stack([
         jnp.stack([a, b,
                    -a * center_in[0] - b * center_in[1]

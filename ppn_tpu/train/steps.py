@@ -51,9 +51,14 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
             warmup_steps=t.warmup_steps,
             decay_steps=max(t.num_steps, t.warmup_steps + 1))
     elif t.lr_schedule == "step":
+        # boundaries are offset by warmup below (join_schedules passes
+        # step − warmup to the second schedule), so subtract it here to
+        # keep decays at the configured absolute steps
+        off = t.warmup_steps
         sched = optax.piecewise_constant_schedule(
             t.learning_rate,
-            {int(t.num_steps * 0.6): 0.1, int(t.num_steps * 0.85): 0.1})
+            {int(t.num_steps * 0.6) - off: 0.1,
+             int(t.num_steps * 0.85) - off: 0.1})
     else:
         raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
     if t.warmup_steps and t.lr_schedule != "cosine":

@@ -11,18 +11,14 @@ import jax
 import numpy as np
 
 from ppn_tpu.configs.base import Config
-from ppn_tpu.eval.pckh import PCKhEvaluator
-from ppn_tpu.ops import postprocess as post
 from ppn_tpu.parallel import make_mesh, replicate, shard_batch
 from ppn_tpu.train import steps as st
 from ppn_tpu.train.checkpoint import Checkpointer
 from ppn_tpu.utils.logging import MetricLogger
 
 
-def synthetic_headsizes(bboxes: np.ndarray) -> np.ndarray:
-    """Pseudo head-segment size for synthetic data: the keypoint-box scale
-    (0.2 · instance diagonal), keeping PCKh thresholds meaningful."""
-    return 0.2 * np.hypot(bboxes[..., 2], bboxes[..., 3])
+# re-exported for backward compatibility; lives with the shared eval loop
+from ppn_tpu.eval.runner import synthetic_headsizes  # noqa: E402,F401
 
 
 class Trainer:
@@ -45,8 +41,10 @@ class Trainer:
                 while cfg.train.batch_size % n:
                     n -= 1
                 shape = (n,)
+            devices = (None if -1 in shape
+                       else jax.devices()[:int(np.prod(shape))])
             self.mesh = make_mesh(shape, cfg.train.mesh_axes,
-                                  devices=jax.devices()[:int(np.prod(shape))])
+                                  devices=devices)
         else:
             self.mesh = None
         self.graphdef, state, self.tx = st.create_train_state(cfg)
@@ -78,7 +76,10 @@ class Trainer:
         terms = {}
         t_last = time.time()
         imgs = 0
-        while self.step < target:
+        # host-side mirror of state.step: reading the device counter every
+        # iteration would force a blocking sync per step
+        step = self.step
+        while step < target:
             batch = next(self.batches)
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, {
@@ -86,7 +87,7 @@ class Trainer:
                     ("image", "keypoints", "visible", "bboxes", "valid")})
             self.state, terms = self.train_step(self.state, batch)
             imgs += batch["image"].shape[0]
-            step = self.step
+            step += 1
             if step % t.log_every == 0:
                 logs = {k: float(v) for k, v in jax.device_get(terms).items()}
                 dt = time.time() - t_last
@@ -98,38 +99,21 @@ class Trainer:
             if (t.eval_every and self.val_dataset is not None
                     and step % t.eval_every == 0):
                 self.logger.log(step, self.evaluate())
-        self.ckpt.save(self.step, jax.device_get(self.state))
+        assert step == self.step  # host mirror stays in lockstep
+        self.ckpt.save(step, jax.device_get(self.state))
         self.ckpt.wait()
         return {k: float(v) for k, v in jax.device_get(terms).items()}
 
     def evaluate(self, max_images: int = 256,
                  batch_size: Optional[int] = None) -> Dict[str, float]:
         """PCKh@0.5 over (a slice of) the validation set (SURVEY.md §3.4)."""
-        from ppn_tpu.data.pipeline import epoch_batches
+        from ppn_tpu.eval.runner import evaluate_pckh
 
         if self.val_dataset is None:
             return {}
-        bs = batch_size or min(self.cfg.train.batch_size, 8)
-        ev = PCKhEvaluator(self.cfg.model)
-        seen = 0
-        rng = np.random.default_rng(0)
-        for batch in epoch_batches(self.val_dataset, bs, rng=rng,
-                                   shuffle=False):
-            fm = self.forward(self.state, batch["image"])
-            people = post.postprocess_batch_fast(self.cfg.model, fm)
-            people_np = jax.device_get(people)
-            for i in range(batch["image"].shape[0]):
-                one = jax.tree.map(lambda x: x[i], people_np)
-                hs = (batch["headsizes"][i]
-                      if "headsizes" in batch else
-                      synthetic_headsizes(batch["bboxes"][i]))
-                ev.add_image(one, batch["keypoints"][i],
-                             batch["visible"][i], batch["bboxes"][i],
-                             batch["valid"][i], hs)
-            seen += batch["image"].shape[0]
-            if seen >= max_images:
-                break
-        return ev.summarize()
+        return evaluate_pckh(self.cfg, self.forward, self.state,
+                             self.val_dataset, max_images=max_images,
+                             batch_size=batch_size)
 
     def close(self):
         self.ckpt.close()
