@@ -31,7 +31,8 @@ def evaluate_pckh(cfg: Config, forward, state, dataset,
     ev = PCKhEvaluator(cfg.model)
     seen = 0
     rng = np.random.default_rng(0)
-    for batch in epoch_batches(dataset, bs, rng=rng, shuffle=False):
+    for batch in epoch_batches(dataset, bs, rng=rng, shuffle=False,
+                               drop_remainder=False):
         fm = forward(state, batch["image"])
         people = jax.device_get(
             post.postprocess_batch_fast(cfg.model, fm))
