@@ -130,7 +130,8 @@ def test_separable_warp_identity_exact():
     img = jnp.asarray(s["image"])
     ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     out = np.asarray(affine_warp_separable(img, ident, img.shape[:2]))
-    np.testing.assert_allclose(out, s["image"], atol=1e-5)
+    # bf16 pixels in the einsums: identity is exact up to quantization
+    np.testing.assert_allclose(out, s["image"], atol=5e-3)
 
 
 def test_augment_batch_shapes_and_jit():
