@@ -263,6 +263,17 @@ class DataConfig:
     translate_frac: float = 0.1
     hflip_prob: float = 0.5
     color_jitter: float = 0.2
+    # Person-centric crop/zoom (ref:dataset.py† "random crop/zoom around
+    # person", SURVEY.md §2.1): with prob crop_prob, recenter the affine on
+    # a random annotated person and zoom so its box max-dim covers a
+    # uniform [crop_frac_min, crop_frac_max] fraction of the output.
+    crop_prob: float = 0.5
+    crop_frac_min: float = 0.35
+    crop_frac_max: float = 0.95
+    # PIL-ImageEnhance-style color suite (ref:dataset.py†): enhancement
+    # factors drawn from 1 ± jitter. 0 disables the op.
+    saturation_jitter: float = 0.3
+    sharpness_jitter: float = 0.5
     num_workers: int = 8
     prefetch: int = 4
     # quantize images to uint8 for host→device transport (4× less traffic;

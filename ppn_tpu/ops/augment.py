@@ -36,6 +36,18 @@ def _flip_permutation(cfg: PPNConfig) -> jnp.ndarray:
     return jnp.asarray(perm, jnp.int32)
 
 
+def _smooth3x3(img: jnp.ndarray) -> jnp.ndarray:
+    """PIL ImageFilter.SMOOTH: 3×3 kernel [[1,1,1],[1,5,1],[1,1,1]]/13,
+    edge-replicated. Written as 9 shifted adds — pure VPU elementwise work
+    that XLA fuses; no conv dispatch needed for a 3-channel image."""
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    acc = 4.0 * img  # center weight 5 = 1 (from the loop below) + 4 here
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            acc = acc + p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+    return acc / 13.0
+
+
 def augment_single(
     cfg: PPNConfig,
     dcfg: DataConfig,
@@ -49,8 +61,8 @@ def augment_single(
     H, W = cfg.insize
     if image.dtype == jnp.uint8:
         image = image.astype(jnp.float32) / 255.0
-    k_rot, k_scale, k_trans, k_flip, k_bright, k_contrast = (
-        jax.random.split(key, 6))
+    (k_rot, k_scale, k_trans, k_flip, k_bright, k_contrast,
+     k_crop, k_person, k_frac, k_sat, k_sharp) = jax.random.split(key, 11)
 
     angle = jax.random.uniform(
         k_rot, (), minval=-dcfg.rotate_deg, maxval=dcfg.rotate_deg
@@ -63,7 +75,26 @@ def augment_single(
     flip = jax.random.bernoulli(k_flip, dcfg.hflip_prob)
 
     center = jnp.asarray([W / 2.0, H / 2.0], jnp.float32)
-    bwd, fwd = make_affine(center, center, angle, scale, trans, flip)
+
+    # Person-centric crop/zoom (ref:dataset.py† crop-around-person,
+    # SURVEY.md §2.1): recenter the same affine on a random annotated
+    # person and zoom so its box max-dim covers a sampled fraction of the
+    # output — one fused warp, no separate crop pass.
+    valid_b = valid.astype(bool)
+    logits = jnp.where(valid_b, 0.0, -1e9)
+    pidx = jax.random.categorical(k_person, logits)
+    pbox = bboxes[pidx].astype(jnp.float32)
+    person_dim = jnp.maximum(jnp.maximum(pbox[2], pbox[3]), 1.0)
+    frac = jax.random.uniform(k_frac, (), minval=dcfg.crop_frac_min,
+                              maxval=dcfg.crop_frac_max)
+    zoom = jnp.clip(frac * min(H, W) / person_dim, 0.25, 4.0)
+    do_crop = (jax.random.bernoulli(k_crop, dcfg.crop_prob)
+               & jnp.any(valid_b))
+
+    center_in = jnp.where(do_crop, pbox[:2], center)
+    scale = jnp.where(do_crop, zoom * scale, scale)
+
+    bwd, fwd = make_affine(center_in, center, angle, scale, trans, flip)
 
     # TPU: MXU-matmul two-pass warp (per-pixel gathers are scalar on TPU,
     # ~20× slower); CPU/GPU: direct bilinear gather.
@@ -72,13 +103,30 @@ def augment_single(
     else:
         out = affine_warp(image, bwd, (H, W))
 
-    # color jitter: brightness + contrast around the per-image mean
+    # Color distortion — the PIL ImageEnhance suite (ref:dataset.py†):
+    # Brightness/Contrast/Color(saturation)/Sharpness, each a lerp between
+    # the image and a degenerate version with factor 1 ± jitter.
     b = 1.0 + jax.random.uniform(k_bright, (), minval=-dcfg.color_jitter,
                                  maxval=dcfg.color_jitter)
     c = 1.0 + jax.random.uniform(k_contrast, (), minval=-dcfg.color_jitter,
                                  maxval=dcfg.color_jitter)
     mean = jnp.mean(out, axis=(0, 1), keepdims=True)
-    out = jnp.clip(((out - mean) * c + mean) * b, 0.0, 1.0)
+    out = ((out - mean) * c + mean) * b
+    if dcfg.saturation_jitter > 0:
+        s = 1.0 + jax.random.uniform(
+            k_sat, (), minval=-dcfg.saturation_jitter,
+            maxval=dcfg.saturation_jitter)
+        gray = jnp.sum(
+            out * jnp.asarray([0.299, 0.587, 0.114], out.dtype),
+            axis=-1, keepdims=True)
+        out = gray + (out - gray) * s
+    if dcfg.sharpness_jitter > 0:
+        sh = 1.0 + jax.random.uniform(
+            k_sharp, (), minval=-dcfg.sharpness_jitter,
+            maxval=dcfg.sharpness_jitter)
+        smooth = _smooth3x3(out)
+        out = smooth + (out - smooth) * sh
+    out = jnp.clip(out, 0.0, 1.0)
 
     # ---- GT transform -----------------------------------------------------
     kp = apply_affine_points(fwd, keypoints)

@@ -12,7 +12,8 @@ from ppn_tpu.ops.augment import augment_batch, augment_single
 
 def _identity_dcfg(dcfg, **over):
     kw = dict(rotate_deg=0.0, scale_min=1.0, scale_max=1.0,
-              translate_frac=0.0, hflip_prob=0.0, color_jitter=0.0)
+              translate_frac=0.0, hflip_prob=0.0, color_jitter=0.0,
+              crop_prob=0.0, saturation_jitter=0.0, sharpness_jitter=0.0)
     kw.update(over)
     return dataclasses.replace(dcfg, **kw)
 
@@ -68,7 +69,10 @@ def test_random_augment_keeps_gt_on_rendered_joints():
     cfg = get_config("mpii_r18_384")
     m = cfg.model
     s = _one_sample(cfg)
-    dcfg = dataclasses.replace(cfg.data, hflip_prob=0.0, color_jitter=0.0)
+    # crop_prob stays at its default so the person-centric crop path is
+    # exercised by the pixel/GT consistency check too
+    dcfg = dataclasses.replace(cfg.data, hflip_prob=0.0, color_jitter=0.0,
+                               saturation_jitter=0.0, sharpness_jitter=0.0)
 
     matches = total = 0
     for seed in range(4):
@@ -132,6 +136,66 @@ def test_separable_warp_identity_exact():
     out = np.asarray(affine_warp_separable(img, ident, img.shape[:2]))
     # bf16 pixels in the einsums: identity is exact up to quantization
     np.testing.assert_allclose(out, s["image"], atol=5e-3)
+
+
+def test_person_crop_zoom_recenters_and_scales():
+    """crop_prob=1: the chosen person's box center lands at the output
+    center and its max-dim covers the sampled [crop_frac] fraction."""
+    cfg = get_config("mpii_r18_384")
+    m = cfg.model
+    s = _one_sample(cfg)  # exactly one person → deterministic choice
+    dcfg = _identity_dcfg(cfg.data, crop_prob=1.0)
+    H, W = m.insize
+    lo, hi = dcfg.crop_frac_min, dcfg.crop_frac_max
+    for seed in range(3):
+        img, kp, vis, box, val = augment_single(
+            m, dcfg, jax.random.PRNGKey(seed), s["image"], s["keypoints"],
+            s["visible"], s["bboxes"], s["valid"])
+        b = np.asarray(box)[0]
+        np.testing.assert_allclose(b[:2], [W / 2, H / 2], atol=1e-2)
+        got_frac = max(b[2], b[3]) / min(H, W)
+        assert lo - 1e-3 <= got_frac <= hi + 1e-3, got_frac
+        # zoom preserves the person's aspect ratio
+        orig = s["bboxes"][0]
+        np.testing.assert_allclose(b[2] / b[3], orig[2] / orig[3],
+                                   rtol=1e-4)
+
+
+def test_crop_skipped_when_no_valid_person():
+    cfg = get_config("mpii_r18_384")
+    s = _one_sample(cfg)
+    dcfg = _identity_dcfg(cfg.data, crop_prob=1.0)
+    novalid = np.zeros_like(s["valid"])
+    img, kp, vis, box, val = augment_single(
+        cfg.model, dcfg, jax.random.PRNGKey(0), s["image"], s["keypoints"],
+        s["visible"], s["bboxes"], novalid)
+    # no person → identity affine → pixels unchanged
+    np.testing.assert_allclose(np.asarray(img), s["image"], atol=1e-5)
+
+
+def test_saturation_and_sharpness_jitter():
+    cfg = get_config("mpii_r18_384")
+    s = _one_sample(cfg)
+    dcfg = _identity_dcfg(cfg.data, saturation_jitter=0.3,
+                          sharpness_jitter=0.5)
+    img, *_ = augment_single(
+        cfg.model, dcfg, jax.random.PRNGKey(3), s["image"], s["keypoints"],
+        s["visible"], s["bboxes"], s["valid"])
+    img = np.asarray(img)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert not np.allclose(img, s["image"], atol=1e-4)  # ops did something
+    # saturation preserves luma: gray pixels stay gray
+    gray_in = np.full((8, 8, 3), 0.5, np.float32)
+    dcfg2 = _identity_dcfg(cfg.data, saturation_jitter=0.3)
+    import dataclasses as dc
+
+    tiny = get_config("tiny_test")
+    g, *_ = augment_single(
+        dc.replace(tiny.model, insize=(8, 8)), dcfg2, jax.random.PRNGKey(1),
+        gray_in, np.zeros((3, tiny.model.num_keypoints, 2), np.float32),
+        np.zeros((3, tiny.model.num_keypoints), bool),
+        np.zeros((3, 4), np.float32), np.zeros((3,), bool))
+    np.testing.assert_allclose(np.asarray(g), gray_in, atol=1e-5)
 
 
 def test_augment_batch_shapes_and_jit():
