@@ -98,6 +98,32 @@ class MPIIDataset:
             headsize = 0.0
         return joints, vis, headsize
 
+    @staticmethod
+    def _instance_box(rec: dict, kp: np.ndarray, kvis: np.ndarray,
+                      sx: float, sy: float) -> Tuple[float, float, float,
+                                                     float]:
+        """Person instance box (cx, cy, w, h) in resized-image pixels.
+
+        Uses the annotation's ``center``/``scale`` when present — the MPII
+        convention the reference consumes (ref:mpii_dataset.py†, SURVEY.md
+        §2.1): the person occupies a square region of side 200·scale px
+        around ``center``. Falls back to the visible-keypoint extent ×1.15
+        heuristic for records without usable center/scale (MPII marks
+        missing centers with -1)."""
+        center = rec.get("center")
+        scale = float(rec.get("scale", 0.0) or 0.0)
+        if (center is not None and scale > 0
+                and float(center[0]) > 0 and float(center[1]) > 0):
+            side = 200.0 * scale
+            return (float(center[0]) * sx, float(center[1]) * sy,
+                    side * sx, side * sy)
+        vpts = kp[kvis]
+        x0, y0 = vpts.min(axis=0)
+        x1, y1 = vpts.max(axis=0)
+        bw = max(x1 - x0, 8.0) * 1.15
+        bh = max(y1 - y0, 8.0) * 1.15
+        return ((x0 + x1) / 2, (y0 + y1) / 2, bw, bh)
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 
@@ -125,16 +151,12 @@ class MPIIDataset:
             kvis = vis[self.perm]
             if not kvis.any():
                 continue
-            vpts = kp[kvis]
-            x0, y0 = vpts.min(axis=0)
-            x1, y1 = vpts.max(axis=0)
-            bw, bh = max(x1 - x0, 8.0) * 1.15, max(y1 - y0, 8.0) * 1.15
             keypoints[p] = kp
             visible[p] = kvis
-            bboxes[p] = ((x0 + x1) / 2, (y0 + y1) / 2, bw, bh)
+            bboxes[p] = self._instance_box(rec, kp, kvis, sx, sy)
             valid[p] = True
             headsizes[p] = (headsize * (sx + sy) / 2 if headsize > 0
-                            else 0.2 * float(np.hypot(bw, bh)))
+                            else 0.2 * float(np.hypot(*bboxes[p, 2:4])))
 
         return {
             "image": np.asarray(img, np.float32) / 255.0,

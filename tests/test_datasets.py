@@ -62,6 +62,45 @@ def test_mpii_dataset(mpii_root):
     assert np.isfinite(s["keypoints"][0, cls]).all()
 
 
+def test_mpii_center_scale_instance_box(mpii_root):
+    """center/scale (MPII: square of side 200·scale around center) defines
+    the instance box; it must differ from the keypoint-extent heuristic."""
+    from ppn_tpu.data.mpii import MPIIDataset, make_mpii_datasets
+
+    cfg = get_config("mpii_r18_384")
+    train, _ = make_mpii_datasets(cfg, mpii_root)
+    s = train[0]  # fixture: center=[160,120], scale=1.2, image 320×240
+    sx, sy = 384 / 320, 384 / 240
+    np.testing.assert_allclose(
+        s["bboxes"][0], [160 * sx, 120 * sy, 240 * sx, 240 * sy], rtol=1e-5)
+    # extent heuristic gives a different box for the same record
+    ext = MPIIDataset._instance_box(
+        {}, s["keypoints"][0], s["visible"][0], sx, sy)
+    assert not np.allclose(s["bboxes"][0], ext)
+
+
+def test_mpii_center_scale_sentinel_falls_back(mpii_root, tmp_path):
+    """center=[-1,-1] / scale=0 records use the extent heuristic."""
+    import json as _json
+
+    from ppn_tpu.data.mpii import MPIIDataset
+
+    cfg = get_config("mpii_r18_384")
+    with open(f"{mpii_root}/annot/train.json") as f:
+        recs = _json.load(f)
+    recs[0]["center"] = [-1, -1]
+    recs[0]["scale"] = 0
+    ann = tmp_path / "sentinel.json"
+    with open(ann, "w") as f:
+        _json.dump(recs[:1], f)
+    ds = MPIIDataset(cfg, mpii_root, str(ann))
+    s = ds[0]
+    kp, vis = s["keypoints"][0], s["visible"][0]
+    vpts = kp[vis]
+    cx, cy = (vpts.min(0) + vpts.max(0)) / 2
+    np.testing.assert_allclose(s["bboxes"][0, :2], [cx, cy], rtol=1e-4)
+
+
 def test_mpii_overfit_mode(mpii_root):
     from ppn_tpu.data.mpii import make_mpii_datasets
 
