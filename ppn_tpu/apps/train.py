@@ -36,6 +36,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="synthetic data: fixed persons per image "
                         "(default: random 1..max_persons)")
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--pretrained", default=None, metavar="PATH",
+                   help="torchvision-format ResNet .pth to initialize the "
+                        "backbone from (the reference starts from ImageNet "
+                        "resnet18 weights)")
     return p
 
 
@@ -99,7 +103,7 @@ def main(argv=None):
     # --overfit memorizes fixed samples; augmentation would defeat that.
     augment = False if args.overfit else None
     trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir,
-                      augment=augment)
+                      augment=augment, pretrained=args.pretrained)
     try:
         final = trainer.run()
         print("final:", {k: round(v, 4) for k, v in final.items()})

@@ -90,9 +90,17 @@ def create_model(cfg: Config, seed: int | None = None) -> PoseProposalNet:
 
 
 def create_train_state(
-    cfg: Config, seed: int | None = None
+    cfg: Config, seed: int | None = None, pretrained: str | None = None
 ) -> Tuple[nnx.GraphDef, TrainState, optax.GradientTransformation]:
+    """Fresh train state; ``pretrained`` points at a torchvision-format
+    ResNet ``.pth`` used to initialize the backbone (SURVEY.md §5
+    checkpoint row — the reference starts from ImageNet resnet18)."""
     model = create_model(cfg, seed)
+    if pretrained:
+        from ppn_tpu.utils.torch_import import load_torch_resnet_file
+
+        used = load_torch_resnet_file(model.backbone, pretrained)
+        print(f"initialized backbone from {pretrained} ({used} tensors)")
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)

@@ -27,7 +27,8 @@ class Trainer:
                  val_dataset=None,
                  logdir: Optional[str] = None,
                  use_mesh: bool = True,
-                 augment: Optional[bool] = None):
+                 augment: Optional[bool] = None,
+                 pretrained: Optional[str] = None):
         self.cfg = cfg
         self.batches = train_batches
         self.val_dataset = val_dataset
@@ -47,7 +48,8 @@ class Trainer:
                                   devices=devices)
         else:
             self.mesh = None
-        self.graphdef, state, self.tx = st.create_train_state(cfg)
+        self.graphdef, state, self.tx = st.create_train_state(
+            cfg, pretrained=pretrained)
         if self.mesh is not None:
             state = replicate(self.mesh, state)
         self.state = state

@@ -77,6 +77,37 @@ def test_conversion_changes_forward():
     assert not np.allclose(before, after)
 
 
+def test_pretrained_cli_path_end_to_end(tmp_path):
+    """--pretrained PATH on the train CLI: a run starts from the imported
+    backbone weights (VERDICT r1 item 4 — the converter must be wired in,
+    not orphaned)."""
+    import torch
+
+    from ppn_tpu.apps import train as train_app
+    from ppn_tpu.configs import get_config
+    from ppn_tpu.train import steps as st
+
+    rng = np.random.default_rng(2)
+    sd = _fake_torchvision_resnet18_sd(rng)
+    pth = tmp_path / "resnet18.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               pth)
+
+    cfg = get_config("tiny_test")
+    _, state, _ = st.create_train_state(cfg, pretrained=str(pth))
+    got = np.asarray(
+        state.params["backbone"]["stem"]["conv"]["kernel"][...])
+    np.testing.assert_allclose(
+        got, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+
+    # and the full CLI accepts it
+    train_app.main([
+        "--config", "tiny_test", "--overfit", "2", "--steps", "2",
+        "--ckpt-dir", str(tmp_path / "ckpt"), "--no-resume",
+        "--pretrained", str(pth),
+    ])
+
+
 def test_strict_mismatch_raises():
     rng = np.random.default_rng(0)
     sd = _fake_torchvision_resnet18_sd(rng)
