@@ -25,6 +25,78 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+def test_global_batch_from_local_single_process():
+    """Single-process degenerate case of the multi-host assembly: the
+    global array equals the local batch, sharded over `data`."""
+    from ppn_tpu.parallel import make_mesh
+    from ppn_tpu.parallel.multihost import global_batch_from_local
+
+    mesh = make_mesh((8,), ("data",), devices=jax.devices()[:8])
+    local = {"x": np.arange(32, dtype=np.float32).reshape(8, 4),
+             "y": np.ones((8, 2, 3), np.float32)}
+    out = global_batch_from_local(mesh, local)
+    for k, v in local.items():
+        assert out[k].shape == v.shape
+        assert out[k].sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(out[k]), v)
+
+
+def test_global_batch_from_local_2d_mesh():
+    """(2,4) mesh with a dummy model axis: batch shards over `data` only,
+    replicated over `model` — the mesh API the TrainConfig exposes."""
+    from ppn_tpu.parallel import make_mesh
+    from ppn_tpu.parallel.multihost import global_batch_from_local
+
+    mesh = make_mesh((2, 4), ("data", "model"), devices=jax.devices()[:8])
+    local = {"x": np.arange(24, dtype=np.float32).reshape(4, 6)}
+    out = global_batch_from_local(mesh, local)
+    assert out["x"].shape == (4, 6)
+    np.testing.assert_array_equal(np.asarray(out["x"]), local["x"])
+    # each shard holds 4/2 = 2 rows (split over data, whole over model)
+    assert {s.data.shape for s in out["x"].addressable_shards} == {(2, 6)}
+
+
+def test_initialize_raises_on_explicit_bad_args(monkeypatch):
+    """Explicit coordinator args must propagate failures, never swallow
+    them (a misconfigured cluster must not silently run single-process)."""
+    import pytest
+
+    from ppn_tpu.parallel import multihost
+
+    def boom(*a, **k):
+        raise RuntimeError("cannot reach coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        multihost.initialize(coordinator_address="10.0.0.1:1234",
+                             num_processes=2, process_id=0)
+
+
+def test_initialize_noop_single_host(monkeypatch):
+    from ppn_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+
+    def boom(*a, **k):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    multihost.initialize()  # must not raise
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no cluster"):
+        multihost.initialize()
+
+
+def test_is_primary():
+    from ppn_tpu.parallel import multihost
+
+    assert multihost.is_primary() is True
+
+
 def test_data_parallel_matches_single_device():
     """Same batch, 1-device vs 8-device mesh → same loss (BN sees the global
     batch under jit-SPMD, so the math is identical)."""
