@@ -33,16 +33,24 @@ def evaluate_pckh(cfg: Config, forward, state, dataset,
     rng = np.random.default_rng(0)
     for batch in epoch_batches(dataset, bs, rng=rng, shuffle=False,
                                drop_remainder=False):
+        # Pad the trailing partial batch to the fixed batch size: a new
+        # shape would mean a new jit trace, and remote-TPU compiles are
+        # minutes long (VERDICT r1 weak #3). Padded rows are never scored.
+        n_real = batch["image"].shape[0]
+        if n_real < bs:
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[:1], bs - n_real, axis=0)])
+                for k, v in batch.items()}
         fm = forward(state, batch["image"])
         people = jax.device_get(
             post.postprocess_batch_fast(cfg.model, fm))
-        for i in range(batch["image"].shape[0]):
+        for i in range(n_real):
             one = jax.tree.map(lambda x: x[i], people)
             hs = (batch["headsizes"][i] if "headsizes" in batch
                   else synthetic_headsizes(batch["bboxes"][i]))
             ev.add_image(one, batch["keypoints"][i], batch["visible"][i],
                          batch["bboxes"][i], batch["valid"][i], hs)
-        seen += batch["image"].shape[0]
+        seen += n_real
         if seen >= max_images:
             break
     return ev.summarize()
