@@ -146,3 +146,47 @@ def test_evaluate_pckh_pads_trailing_batch_to_one_shape():
                     for i in range(10))
     assert int(s["pckh/num_joints"]) == total_vis
     assert s["pckh/mean"] == 0.0
+
+
+def test_oks_ap_golden_three_detections():
+    """Hand-computed AP pin for the 101-point interpolation (VERDICT r1
+    item 9). Fixture: one image, 2 GT; 3 detections in score order
+    TP(0.9), FP(0.8), TP(0.7) with OKS in {0,1}, so every threshold sees
+    precision [1, 1/2, 2/3] at recall [1/2, 1/2, 1].
+
+    Interpolated precision is [1, 2/3, 2/3]; recall grid points
+    0.00–0.50 (51 of them) read precision 1, 0.51–1.00 (50) read 2/3:
+    AP = (51·1 + 50·(2/3)) / 101 = 253/303, identical at all 10
+    thresholds, so AP = AP50 = AP75 = 253/303.
+    """
+    cfg = get_config("coco_r18_384")
+    m = cfg.model
+    kp, vis, box, valid, hs = _gt(cfg, n=2)
+    areas = np.full((2,), 4e4, np.float32)
+
+    P, K1 = m.max_instances, m.num_classes
+    kp_box = np.zeros((P, K1, 4), np.float32)
+    kp_score = np.zeros((P, K1), np.float32)
+    kp_valid = np.zeros((P, K1), bool)
+    pvalid = np.zeros((P,), bool)
+    # det 0: exact GT0 (score .9); det 1: garbage (.8); det 2: exact GT1 (.7)
+    for p, (src, score) in enumerate([(0, 0.9), (None, 0.8), (1, 0.7)]):
+        kp_score[p, 0] = score
+        kp_valid[p, 0] = True
+        pvalid[p] = True
+        kp_valid[p, 1:] = True
+        if src is None:
+            kp_box[p, 1:, :2] = 1e6  # OKS ≈ 0 against every GT
+        else:
+            kp_box[p, 1:, :2] = kp[src]
+    ppl = People(np.zeros((P, K1, 2), np.int32), kp_box, kp_score,
+                 kp_valid, pvalid, kp_valid[:, 1:].sum(-1).astype(np.int32))
+
+    ev = OKSEvaluator(m)
+    ev.add_image(ppl, kp, vis, valid, areas)
+    s = ev.summarize()
+    golden = 253.0 / 303.0
+    assert abs(s["oks/AP"] - golden) < 1e-12, s["oks/AP"]
+    assert abs(s["oks/AP50"] - golden) < 1e-12
+    assert abs(s["oks/AP75"] - golden) < 1e-12
+    assert s["oks/num_gt"] == 2.0
