@@ -40,6 +40,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="torchvision-format ResNet .pth to initialize the "
                         "backbone from (the reference starts from ImageNet "
                         "resnet18 weights)")
+    p.add_argument("--device-cache", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="hold the whole dataset in device memory and sample "
+                        "batches there (host sends only indices). auto: on "
+                        "when the dataset fits comfortably in HBM")
     return p
 
 
@@ -97,9 +102,22 @@ def main(argv=None):
     from ppn_tpu.train.trainer import Trainer
 
     train_ds, val_ds = make_datasets(cfg, args)
-    batches = infinite_batches(train_ds, cfg.train.batch_size,
-                               seed=cfg.train.seed,
-                               image_uint8=cfg.data.transfer_uint8)
+    Hc, Wc = cfg.model.insize
+    est_bytes = len(train_ds) * Hc * Wc * 3  # uint8 images dominate
+    use_cache = (args.device_cache == "on"
+                 or (args.device_cache == "auto" and est_bytes < 2 << 30))
+    if use_cache:
+        from ppn_tpu.data.device_cache import DeviceCache
+
+        cache = DeviceCache(train_ds, image_uint8=cfg.data.transfer_uint8)
+        print(f"device cache: {len(train_ds)} samples, "
+              f"{cache.nbytes() / 1e6:.0f} MB on device")
+        batches = cache.infinite_batches(cfg.train.batch_size,
+                                         seed=cfg.train.seed)
+    else:
+        batches = infinite_batches(train_ds, cfg.train.batch_size,
+                                   seed=cfg.train.seed,
+                                   image_uint8=cfg.data.transfer_uint8)
     # --overfit memorizes fixed samples; augmentation would defeat that.
     augment = False if args.overfit else None
     trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir,

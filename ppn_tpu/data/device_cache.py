@@ -1,0 +1,72 @@
+"""Device-resident dataset cache: upload once, sample batches on device.
+
+The reference re-reads and re-augments every sample on the host each epoch
+(ref:dataset.py† via DataLoader workers, SURVEY.md §3.5). On TPU the host
+link is the bottleneck — in this environment the tunnel moves ~25 MB/s, so
+streaming B=32 uint8 384² batches costs ~0.5 s/step against a ~35 ms train
+step. For datasets that fit in HBM (uint8 384²×3 ≈ 0.44 MB/image — tens of
+thousands of images per chip), the TPU-native answer is to push the whole
+dataset to the device once and gather random batches there; per step the
+host sends only a (B,) int32 index vector.
+
+Augmentation and target encoding already run inside the jitted train step,
+so device-side sampling loses nothing: every epoch still sees fresh random
+augmentations of each image.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ppn_tpu.data.pipeline import collate
+
+
+class DeviceCache:
+    """Holds one collated dataset on device; yields gathered batches.
+
+    Images are stored uint8 (source data is 8-bit; 4× less HBM) and
+    normalized on device by the model/augment path, exactly as the
+    streaming pipeline's ``transfer_uint8`` mode.
+    """
+
+    def __init__(self, dataset, image_uint8: bool = True,
+                 device: Optional[jax.Device] = None):
+        n = len(dataset)
+        host = collate([dataset[i] for i in range(n)],
+                       image_uint8=image_uint8)
+        device = device or jax.devices()[0]
+        self.data = {k: jax.device_put(v, device) for k, v in host.items()}
+        self.size = n
+
+        @jax.jit
+        def gather(cache, idx):
+            return jax.tree.map(lambda x: x[idx], cache)
+
+        self._gather = gather
+
+    def nbytes(self) -> int:
+        return sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in self.data.values())
+
+    def batch(self, idx: np.ndarray) -> Dict[str, jax.Array]:
+        return self._gather(self.data, np.asarray(idx, np.int32))
+
+    def epoch_shuffled_batches(self, batch_size: int, *, seed: int = 0
+                               ) -> Iterator[Dict[str, jax.Array]]:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(self.size)
+        for i in range(0, self.size - batch_size + 1, batch_size):
+            yield self.batch(idx[i:i + batch_size])
+
+    def infinite_batches(self, batch_size: int, *, seed: int = 0
+                         ) -> Iterator[Dict[str, jax.Array]]:
+        """Shuffled epochs forever — the DataLoader-equivalent hot feed,
+        moving 4 bytes/image over the host link instead of ~440 KB."""
+        epoch = 0
+        while True:
+            yield from self.epoch_shuffled_batches(batch_size,
+                                                   seed=seed + epoch)
+            epoch += 1

@@ -1,0 +1,53 @@
+"""Device-resident dataset cache tests (data/device_cache.py)."""
+
+import numpy as np
+
+from ppn_tpu.configs import get_config
+from ppn_tpu.data.device_cache import DeviceCache
+from ppn_tpu.data.pipeline import collate
+from ppn_tpu.data.synthetic import SyntheticPoseDataset
+
+
+def test_cache_matches_collate_and_gathers():
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=6, seed=1)
+    cache = DeviceCache(ds, image_uint8=True)
+    assert cache.size == 6
+    ref = collate([ds[i] for i in range(6)], image_uint8=True)
+    b = cache.batch(np.asarray([3, 0, 5]))
+    for k in ("image", "keypoints", "visible", "bboxes", "valid"):
+        np.testing.assert_array_equal(np.asarray(b[k]), ref[k][[3, 0, 5]])
+    assert b["image"].dtype == np.uint8  # stored uint8, normalized on device
+
+
+def test_epoch_covers_all_indices_once():
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=8, seed=2)
+    cache = DeviceCache(ds, image_uint8=True)
+    seen = []
+    ref = collate([ds[i] for i in range(8)], image_uint8=True)
+    for b in cache.epoch_shuffled_batches(2, seed=0):
+        img = np.asarray(b["image"])
+        for row in img:
+            hits = np.where((ref["image"] == row).all(axis=(1, 2, 3)))[0]
+            assert len(hits) == 1
+            seen.append(int(hits[0]))
+    assert sorted(seen) == list(range(8))
+
+
+def test_cached_batches_feed_the_train_step():
+    import dataclasses as dc
+
+    import jax
+
+    from ppn_tpu.train import steps as st
+
+    cfg = get_config("tiny_test")
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, batch_size=2))
+    ds = SyntheticPoseDataset(cfg, size=4, seed=3)
+    cache = DeviceCache(ds, image_uint8=True)
+    graphdef, state, tx = st.create_train_state(cfg)
+    step = st.make_train_step(cfg, graphdef, tx, augment=True)
+    it = cache.infinite_batches(2, seed=0)
+    state, terms = step(state, next(it))
+    assert np.isfinite(float(jax.device_get(terms["loss_total"])))
