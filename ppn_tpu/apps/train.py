@@ -35,6 +35,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num-persons", type=int, default=None,
                    help="synthetic data: fixed persons per image "
                         "(default: random 1..max_persons)")
+    p.add_argument("--train-size", type=int, default=1024,
+                   help="synthetic data: number of distinct training images")
     p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--pretrained", default=None, metavar="PATH",
                    help="torchvision-format ResNet .pth to initialize the "
@@ -53,7 +55,7 @@ def make_datasets(cfg, args):
     if args.data == "synthetic":
         from ppn_tpu.data.synthetic import SyntheticPoseDataset
 
-        n = args.overfit or 1024
+        n = args.overfit or args.train_size
         np_ = getattr(args, "num_persons", None)
         train = SyntheticPoseDataset(cfg, size=n, seed=cfg.train.seed,
                                      cache=True, num_persons=np_)

@@ -39,7 +39,13 @@ def _parse_edges(v: str) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
-def load_ini(path: str, base: str = "mpii_r18_384") -> Config:
+def load_ini(path: str, base: str = "mpii_r18_384",
+             strict: bool = False) -> Config:
+    """Load a reference-style INI onto the dataclass config tree.
+
+    strict=True raises on unrecognized keys instead of reporting them —
+    catches typos in carried-over reference configs (VERDICT r1 weak #6).
+    """
     cp = configparser.ConfigParser()
     with open(path) as f:
         cp.read_file(f)
@@ -101,6 +107,8 @@ def load_ini(path: str, base: str = "mpii_r18_384") -> Config:
                 unknown.append(f"{section}.{key}")
 
     if unknown:
+        if strict:
+            raise KeyError(f"ini_compat: unknown keys: {unknown}")
         print(f"ini_compat: ignored unknown keys: {unknown}")
 
     return dataclasses.replace(

@@ -63,3 +63,17 @@ def test_load_ini_coco_base(ini_path):
     cfg = load_ini(ini_path, base="coco_r18_384")
     assert cfg.model.num_keypoints == 17
     assert cfg.model.insize == (320, 320)
+
+
+def test_strict_mode_raises_on_unknown_keys(tmp_path):
+    import pytest
+
+    from ppn_tpu.configs.ini_compat import load_ini
+
+    ini = tmp_path / "bad.ini"
+    ini.write_text("[model]\ninsize = 384\ndetection_tresh = 0.2\n")
+    with pytest.raises(KeyError, match="detection_tresh"):
+        load_ini(str(ini), strict=True)
+    # non-strict still loads (reported, not fatal)
+    cfg = load_ini(str(ini))
+    assert cfg.model.insize == (384, 384)
