@@ -51,3 +51,30 @@ def test_cached_batches_feed_the_train_step():
     it = cache.infinite_batches(2, seed=0)
     state, terms = step(state, next(it))
     assert np.isfinite(float(jax.device_get(terms["loss_total"])))
+
+
+def test_cached_batches_reshard_onto_data_mesh():
+    """Device-cached (single-device) batches re-lay out onto an 8-device
+    data mesh via shard_batch — the Trainer's exact path."""
+    import dataclasses as dc
+
+    import jax
+
+    from ppn_tpu.parallel import make_mesh, replicate, shard_batch
+    from ppn_tpu.train import steps as st
+
+    cfg = get_config("tiny_test")
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, batch_size=8))
+    ds = SyntheticPoseDataset(cfg, size=8, seed=4)
+    cache = DeviceCache(ds, image_uint8=True)
+    mesh = make_mesh((8,), ("data",), devices=jax.devices()[:8])
+    graphdef, state, tx = st.create_train_state(cfg)
+    state = replicate(mesh, state)
+    step = st.make_train_step(cfg, graphdef, tx, augment=True)
+    batch = next(cache.infinite_batches(8, seed=0))
+    batch = shard_batch(mesh, {k: batch[k] for k in
+                               ("image", "keypoints", "visible", "bboxes",
+                                "valid")})
+    assert batch["image"].sharding.spec[0] == "data"
+    _, terms = step(state, batch)
+    assert np.isfinite(float(jax.device_get(terms["loss_total"])))
