@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train-size", type=int, default=1024,
                    help="synthetic data: number of distinct training images")
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--backbone", default=None,
+                   choices=["resnet18", "resnet34", "resnet50"],
+                   help="override the config's backbone")
     p.add_argument("--pretrained", default=None, metavar="PATH",
                    help="torchvision-format ResNet .pth to initialize the "
                         "backbone from (the reference starts from ImageNet "
@@ -99,6 +102,9 @@ def main(argv=None):
     if updates:
         tr = dataclasses.replace(tr, **updates)
         cfg = dataclasses.replace(cfg, train=tr)
+    if args.backbone is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=args.backbone))
 
     from ppn_tpu.data.pipeline import infinite_batches
     from ppn_tpu.train.trainer import Trainer

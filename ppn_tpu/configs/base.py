@@ -311,6 +311,15 @@ def coco_r18_384() -> Config:
     )
 
 
+def mpii_r50_384() -> Config:
+    """ResNet-50 bottleneck variant (the reference lineage ships
+    resnet18/34/50 backbones — SURVEY.md §2.1 Backbone row)."""
+    return Config(
+        name="mpii_r50_384",
+        model=PPNConfig(backbone="resnet50"),
+    )
+
+
 def mpii_r18_224_fast() -> Config:
     """Low-latency variant for the streaming-video path (BASELINE config #5)."""
     return Config(
@@ -332,6 +341,7 @@ def tiny_test() -> Config:
 
 _REGISTRY = {
     "mpii_r18_384": mpii_r18_384,
+    "mpii_r50_384": mpii_r50_384,
     "coco_r18_384": coco_r18_384,
     "mpii_r18_224_fast": mpii_r18_224_fast,
     "tiny_test": tiny_test,

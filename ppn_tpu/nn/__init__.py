@@ -1,8 +1,10 @@
 from ppn_tpu.nn.model import PoseProposalNet, PPNHead, num_params
-from ppn_tpu.nn.resnet import BasicBlock, ConvBN, ResNet, resnet18, resnet34
+from ppn_tpu.nn.resnet import (BasicBlock, Bottleneck, ConvBN, ResNet,
+                               resnet18, resnet34, resnet50)
 
 __all__ = [
     "BasicBlock",
+    "Bottleneck",
     "ConvBN",
     "PPNHead",
     "PoseProposalNet",
@@ -10,4 +12,5 @@ __all__ = [
     "num_params",
     "resnet18",
     "resnet34",
+    "resnet50",
 ]

@@ -12,9 +12,10 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ppn_tpu.configs.base import PPNConfig
-from ppn_tpu.nn.resnet import ConvBN, resnet18, resnet34
+from ppn_tpu.nn.resnet import ConvBN, resnet18, resnet34, resnet50
 
-_BACKBONES = {"resnet18": resnet18, "resnet34": resnet34}
+_BACKBONES = {"resnet18": resnet18, "resnet34": resnet34,
+              "resnet50": resnet50}
 
 
 class PPNHead(nnx.Module):

@@ -52,22 +52,51 @@ class BasicBlock(nnx.Module):
         return nnx.relu(y + skip)
 
 
+class Bottleneck(nnx.Module):
+    """ResNet-50-style bottleneck: 1×1 reduce → 3×3 → 1×1 expand (×4).
+
+    Matches the torchvision topology (stride on the 3×3, torchvision≥0.4
+    "ResNet v1.5") so ImageNet state_dicts convert 1:1 via
+    ``utils/torch_import.py``.
+    """
+
+    expansion = 4
+
+    def __init__(self, cin: int, cout: int, stride: int = 1,
+                 *, dtype=jnp.bfloat16, rngs: nnx.Rngs):
+        cexp = cout * self.expansion
+        self.conv1 = ConvBN(cin, cout, 1, 1, dtype=dtype, rngs=rngs)
+        self.conv2 = ConvBN(cout, cout, 3, stride, dtype=dtype, rngs=rngs)
+        self.conv3 = ConvBN(cout, cexp, 1, 1, dtype=dtype, rngs=rngs)
+        self.proj = (ConvBN(cin, cexp, 1, stride, dtype=dtype, rngs=rngs)
+                     if (stride != 1 or cin != cexp) else None)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        skip = x if self.proj is None else self.proj(x)
+        y = nnx.relu(self.conv1(x))
+        y = nnx.relu(self.conv2(y))
+        y = self.conv3(y)
+        return nnx.relu(y + skip)
+
+
 class ResNet(nnx.Module):
     """Stride-32 ResNet feature extractor (stages only, no pool/fc head)."""
 
     def __init__(self, stage_sizes: Sequence[int],
                  widths: Sequence[int] = (64, 128, 256, 512),
+                 block=BasicBlock,
                  *, dtype=jnp.bfloat16, rngs: nnx.Rngs):
         self.dtype = dtype
         self.stem = ConvBN(3, widths[0], 7, 2, dtype=dtype, rngs=rngs)
+        expansion = getattr(block, "expansion", 1)
         blocks = []
         cin = widths[0]
         for stage, (n, cout) in enumerate(zip(stage_sizes, widths)):
             for i in range(n):
                 stride = 2 if (i == 0 and stage > 0) else 1
                 blocks.append(
-                    BasicBlock(cin, cout, stride, dtype=dtype, rngs=rngs))
-                cin = cout
+                    block(cin, cout, stride, dtype=dtype, rngs=rngs))
+                cin = cout * expansion
         self.blocks = nnx.List(blocks)
         self.out_features = cin
 
@@ -89,3 +118,9 @@ def resnet18(*, dtype=jnp.bfloat16, rngs: nnx.Rngs) -> ResNet:
 
 def resnet34(*, dtype=jnp.bfloat16, rngs: nnx.Rngs) -> ResNet:
     return ResNet((3, 4, 6, 3), dtype=dtype, rngs=rngs)
+
+
+def resnet50(*, dtype=jnp.bfloat16, rngs: nnx.Rngs) -> ResNet:
+    """Bottleneck variant (out_features 2048) — the reference's Chainer
+    lineage ships resnet18/34/50 backbones [LINEAGE, SURVEY.md §2.1]."""
+    return ResNet((3, 4, 6, 3), block=Bottleneck, dtype=dtype, rngs=rngs)

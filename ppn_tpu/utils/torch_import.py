@@ -33,8 +33,9 @@ def _set_convbn(cb: ConvBN, sd: Mapping[str, np.ndarray], conv_key: str,
 
 def load_torch_resnet(backbone: ResNet, state_dict: Mapping[str, np.ndarray],
                       strict: bool = True) -> int:
-    """Copy a torchvision ResNet-18/34 state_dict into the NNX backbone
-    in place. Returns the number of tensors consumed."""
+    """Copy a torchvision ResNet-18/34/50 state_dict into the NNX backbone
+    in place (bottleneck blocks are detected by a ``conv3`` key). Returns
+    the number of tensors consumed."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()
           if not k.endswith("num_batches_tracked")
           and not k.startswith("fc.")}
@@ -44,7 +45,6 @@ def load_torch_resnet(backbone: ResNet, state_dict: Mapping[str, np.ndarray],
     used += 5
 
     # torchvision stage sizes from the flat block list
-    widths = [64, 128, 256, 512]
     flat = 0
     for stage in range(4):
         i = 0
@@ -54,6 +54,13 @@ def load_torch_resnet(backbone: ResNet, state_dict: Mapping[str, np.ndarray],
             _set_convbn(block.conv1, sd, f"{pre}.conv1", f"{pre}.bn1")
             _set_convbn(block.conv2, sd, f"{pre}.conv2", f"{pre}.bn2")
             used += 10
+            if f"{pre}.conv3.weight" in sd:
+                if not hasattr(block, "conv3"):
+                    raise ValueError(
+                        f"{pre} is a bottleneck but the NNX block is basic "
+                        "— topology mismatch")
+                _set_convbn(block.conv3, sd, f"{pre}.conv3", f"{pre}.bn3")
+                used += 5
             if f"{pre}.downsample.0.weight" in sd:
                 if block.proj is None:
                     raise ValueError(
@@ -64,7 +71,6 @@ def load_torch_resnet(backbone: ResNet, state_dict: Mapping[str, np.ndarray],
                 used += 5
             flat += 1
             i += 1
-    del widths
 
     if flat != len(backbone.blocks):
         msg = (f"state_dict provides {flat} blocks, backbone has "

@@ -115,3 +115,65 @@ def test_strict_mismatch_raises():
     bb = resnet18(rngs=nnx.Rngs(0))
     with pytest.raises(ValueError, match="consumed"):
         load_torch_resnet(bb, sd)
+
+
+def _fake_torchvision_resnet50_sd(rng):
+    """Key names/shapes exactly as torchvision resnet50 state_dict."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.normal(0, 0.1, (o, i, k, k)).astype(
+            np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(1, 0.1, c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{name}.running_var"] = np.abs(
+            rng.normal(1, 0.1, c)).astype(np.float32)
+        sd[f"{name}.num_batches_tracked"] = np.asarray(0)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for stage, (n, cout) in enumerate(zip([3, 4, 6, 3],
+                                          [64, 128, 256, 512])):
+        for i in range(n):
+            pre = f"layer{stage + 1}.{i}"
+            conv(f"{pre}.conv1", cout, cin, 1)
+            bn(f"{pre}.bn1", cout)
+            conv(f"{pre}.conv2", cout, cout, 3)
+            bn(f"{pre}.bn2", cout)
+            conv(f"{pre}.conv3", cout * 4, cout, 1)
+            bn(f"{pre}.bn3", cout * 4)
+            if i == 0:
+                conv(f"{pre}.downsample.0", cout * 4, cin, 1)
+                bn(f"{pre}.downsample.1", cout * 4)
+            cin = cout * 4
+    sd["fc.weight"] = rng.normal(0, 0.1, (1000, 2048)).astype(np.float32)
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def test_resnet50_bottleneck_conversion():
+    from ppn_tpu.nn.resnet import resnet50
+
+    rng = np.random.default_rng(2)
+    sd = _fake_torchvision_resnet50_sd(rng)
+    bb = resnet50(rngs=nnx.Rngs(0))
+    used = load_torch_resnet(bb, sd)
+    assert used == 5 + 16 * 15 + 4 * 5
+    np.testing.assert_allclose(
+        np.asarray(bb.blocks[0].conv3.bn.var[...]),
+        sd["layer1.0.bn3.running_var"])
+    np.testing.assert_allclose(
+        np.asarray(bb.blocks[13].proj.conv.kernel[...]),
+        np.transpose(sd["layer4.0.downsample.0.weight"], (2, 3, 1, 0)))
+
+
+def test_bottleneck_sd_into_basic_backbone_raises():
+    rng = np.random.default_rng(3)
+    sd = _fake_torchvision_resnet50_sd(rng)
+    bb = resnet18(rngs=nnx.Rngs(0))
+    with pytest.raises(ValueError):
+        load_torch_resnet(bb, sd)
