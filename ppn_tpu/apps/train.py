@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--train-size", type=int, default=1024,
                    help="synthetic data: number of distinct training images")
     p.add_argument("--eval-every", type=int, default=None)
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="EMA of params for eval/inference (e.g. 0.999); "
+                        "0 disables (default from config)")
     p.add_argument("--backbone", default=None,
                    choices=["resnet18", "resnet34", "resnet50"],
                    help="override the config's backbone")
@@ -99,6 +102,8 @@ def main(argv=None):
         updates["resume"] = False
     if args.eval_every is not None:
         updates["eval_every"] = args.eval_every
+    if args.ema_decay is not None:
+        updates["ema_decay"] = args.ema_decay
     if updates:
         tr = dataclasses.replace(tr, **updates)
         cfg = dataclasses.replace(cfg, train=tr)

@@ -27,6 +27,7 @@ import jax
 import numpy as np
 
 from ppn_tpu.configs import get_config
+from ppn_tpu.train import steps as st
 
 
 def make_video_pipeline(cfg, graphdef):
@@ -40,7 +41,7 @@ def make_video_pipeline(cfg, graphdef):
     def run(state, frame_u8):
         img = frame_u8.astype(np.float32) / 255.0
         img = resize_bilinear(img, cfg.model.insize)
-        model = nnx.merge(graphdef, state.params, state.rest)
+        model = nnx.merge(graphdef, st.eval_params(state), state.rest)
         model.eval()
         fm = model(img[None])
         people = post.postprocess_batch_fast_fn(cfg.model, fm)

@@ -233,6 +233,10 @@ class TrainConfig:
     num_steps: int = 50_000
     warmup_steps: int = 500
     lr_schedule: str = "cosine"       # "cosine" | "constant" | "step"
+    # Exponential moving average of params, used for eval/inference when
+    # > 0 (a TPU-cheap accuracy lever the reference lacks; one fused
+    # multiply-add per param per step).
+    ema_decay: float = 0.0
     seed: int = 0
     log_every: int = 50
     checkpoint_every: int = 1000

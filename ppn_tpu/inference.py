@@ -53,7 +53,7 @@ class Predictor:
             if restored is None:
                 raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
             _, state = restored
-        model = nnx.merge(graphdef, state.params, state.rest)
+        model = nnx.merge(graphdef, st.eval_params(state), state.rest)
         model.eval()
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
         return cls(cfg, graphdef, params, rest)

@@ -39,6 +39,15 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray   # PRNG key driving on-device augmentation
+    # EMA of params when cfg.train.ema_decay > 0, else None (None leaves
+    # vanish from the pytree, so disabled-EMA checkpoints keep the old
+    # structure).
+    ema_params: Any = None
+
+
+def eval_params(state: TrainState):
+    """The params eval/inference should use: EMA copy when tracked."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
@@ -105,10 +114,12 @@ def create_train_state(
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     rng = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+    ema = (jax.tree.map(jnp.copy, params)
+           if cfg.train.ema_decay > 0 else None)
     return graphdef, TrainState(params=params, rest=rest,
                                 opt_state=opt_state,
                                 step=jnp.zeros((), jnp.int32),
-                                rng=rng), tx
+                                rng=rng, ema_params=ema), tx
 
 
 def make_train_step(
@@ -155,9 +166,13 @@ def make_train_step(
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        d = cfg.train.ema_decay
+        new_ema = (None if state.ema_params is None else jax.tree.map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            state.ema_params, new_params))
         new_state = TrainState(params=new_params, rest=new_rest,
                                opt_state=new_opt, step=state.step + 1,
-                               rng=rng)
+                               rng=rng, ema_params=new_ema)
         terms = dict(terms)
         terms["grad_norm"] = optax.global_norm(grads)
         return new_state, terms
@@ -187,7 +202,7 @@ def make_forward(cfg: Config, graphdef: nnx.GraphDef):
 
     @jax.jit
     def forward(state: TrainState, images):
-        model = nnx.merge(graphdef, state.params, state.rest)
+        model = nnx.merge(graphdef, eval_params(state), state.rest)
         model.eval()
         return model(images)
 

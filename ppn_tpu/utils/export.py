@@ -25,6 +25,7 @@ from flax import nnx
 
 from ppn_tpu.configs.base import Config
 from ppn_tpu.ops import postprocess as post
+from ppn_tpu.train import steps as st
 
 
 def export_pipeline(cfg: Config, graphdef, state, batch: int = 8,
@@ -35,7 +36,7 @@ def export_pipeline(cfg: Config, graphdef, state, batch: int = 8,
     the serialized artifact bytes. `platform` defaults to the current
     backend; pass "tpu"/"cpu" to cross-export.
     """
-    model = nnx.merge(graphdef, state.params, state.rest)
+    model = nnx.merge(graphdef, st.eval_params(state), state.rest)
     model.eval()
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     params = jax.device_get(params)

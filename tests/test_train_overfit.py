@@ -62,3 +62,40 @@ def test_overfit_tiny():
                                     score.shape[1:3])
         hits += int(gt_cell == top_cell)
     assert hits >= delta.shape[0] - 1, f"instance cell hits {hits}"
+
+
+def test_ema_params_track_and_drive_eval():
+    """ema_decay>0: EMA leaves lag params, eval_params returns them;
+    disabled: ema_params is None and eval_params returns live params."""
+    import dataclasses
+
+    import jax
+
+    cfg = get_config("tiny_test")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9,
+                                       warmup_steps=0, num_steps=5,
+                                       learning_rate=0.05,
+                                       lr_schedule="constant"))
+    batch = _tiny_batch(cfg, n=2)
+    graphdef, state, tx = st.create_train_state(cfg)
+    assert state.ema_params is not None
+    p0 = jax.device_get(jax.tree.leaves(state.params)[0])
+    train_step = st.make_train_step(cfg, graphdef, tx)
+    for _ in range(3):
+        state, _ = train_step(state, batch)
+    live, ema = (jax.device_get(jax.tree.leaves(t)[0])
+                 for t in (state.params, state.ema_params))
+    assert not np.allclose(live, ema)          # EMA lags the live params
+    assert not np.allclose(ema, p0)            # ...but did move
+    # EMA stays closer to the init than the live params do (it averages
+    # the whole trajectory starting at p0)
+    assert np.abs(ema - p0).mean() < np.abs(live - p0).mean()
+    got = st.eval_params(state)
+    assert got is state.ema_params
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.0))
+    _, state2, _ = st.create_train_state(cfg2)
+    assert state2.ema_params is None
+    assert st.eval_params(state2) is state2.params
