@@ -38,6 +38,7 @@ def main(argv=None):
         data_root = args.data_root
         overfit = None
         num_persons = None
+        train_size = 1  # only the val split is used; keep train-gen trivial
 
     _, val = make_datasets(cfg, _A)
     if val is None:
