@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--data-root", default=None)
     p.add_argument("--max-images", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--flip-tta", action="store_true",
+                   help="horizontal-flip test-time augmentation: average "
+                        "the mirrored prediction in logit space (ops/tta.py)")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
@@ -45,7 +48,7 @@ def main(argv=None):
         raise SystemExit("no validation split available")
 
     graphdef, state = load_state(cfg, args.ckpt_dir)
-    forward = st.make_forward(cfg, graphdef)
+    forward = st.make_forward(cfg, graphdef, flip_tta=args.flip_tta)
     summary = evaluate_pckh(cfg, forward, state, val,
                             max_images=args.max_images,
                             batch_size=args.batch_size)

@@ -24,7 +24,8 @@ from ppn_tpu.ops.parse import People
 
 
 class Predictor:
-    def __init__(self, cfg: Config, graphdef, params, rest):
+    def __init__(self, cfg: Config, graphdef, params, rest,
+                 flip_tta: bool = False):
         self.cfg = cfg
         self._graphdef = graphdef
         self._params = params
@@ -34,6 +35,12 @@ class Predictor:
         def _run(params, rest, images):
             m = nnx.merge(graphdef, params, rest)
             fm = m(images)
+            if flip_tta:
+                import jax.numpy as jnp
+
+                from ppn_tpu.ops.tta import merge_flip_tta
+                fm = merge_flip_tta(cfg.model, fm,
+                                    m(jnp.flip(images, axis=2)))
             return post.postprocess_batch_fast_fn(cfg.model, fm)
 
         self._run = _run
@@ -41,7 +48,8 @@ class Predictor:
     # ---- constructors ------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, config: str | Config,
-                        ckpt_dir: Optional[str] = None) -> "Predictor":
+                        ckpt_dir: Optional[str] = None,
+                        flip_tta: bool = False) -> "Predictor":
         from ppn_tpu.train import steps as st
         from ppn_tpu.train.checkpoint import Checkpointer
 
@@ -56,7 +64,7 @@ class Predictor:
         model = nnx.merge(graphdef, st.eval_params(state), state.rest)
         model.eval()
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)
-        return cls(cfg, graphdef, params, rest)
+        return cls(cfg, graphdef, params, rest, flip_tta=flip_tta)
 
     # ---- inference ---------------------------------------------------------
     def predict(self, images: np.ndarray) -> People:

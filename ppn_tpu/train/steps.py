@@ -197,13 +197,24 @@ def make_eval_loss_step(cfg: Config, graphdef: nnx.GraphDef):
     return eval_step
 
 
-def make_forward(cfg: Config, graphdef: nnx.GraphDef):
-    """Inference forward: images → float32 feature map (eval-mode BN)."""
+def make_forward(cfg: Config, graphdef: nnx.GraphDef, *,
+                 flip_tta: bool = False):
+    """Inference forward: images → float32 feature map (eval-mode BN).
+
+    flip_tta=True also runs the mirrored image and merges both predictions
+    in logit space (ops/tta.py) — one jit, one extra forward, no extra
+    postprocess pass.
+    """
 
     @jax.jit
     def forward(state: TrainState, images):
         model = nnx.merge(graphdef, eval_params(state), state.rest)
         model.eval()
-        return model(images)
+        fm = model(images)
+        if flip_tta:
+            from ppn_tpu.ops.tta import merge_flip_tta
+            fm = merge_flip_tta(cfg.model, fm,
+                                model(jnp.flip(images, axis=2)))
+        return fm
 
     return forward
