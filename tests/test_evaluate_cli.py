@@ -23,3 +23,13 @@ def test_evaluate_cli_synthetic(tmp_path, capsys):
     summary = json.loads(out[out.index("{"):])
     assert "pckh/mean" in summary
     assert 0.0 <= summary["pckh/mean"] <= 1.0
+
+    # threshold overrides parse and run (the reference's config.ini knobs)
+    eval_app.main([
+        "--config", "tiny_test", "--ckpt-dir", str(ckpt),
+        "--data", "synthetic", "--max-images", "2", "--batch-size", "2",
+        "--detection-thresh", "0.05", "--nms-thresh", "0.45", "--flip-tta",
+    ])
+    out = capsys.readouterr().out
+    summary = json.loads(out[out.index("{"):])
+    assert "pckh/mean" in summary

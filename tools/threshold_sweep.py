@@ -1,0 +1,62 @@
+"""Sweep postprocess operating points (detection/NMS thresholds) on a
+trained checkpoint — the reference exposes the same knobs in config.ini†
+(SURVEY.md §2.1 Config row); this finds the PCKh-optimal pair without
+re-running the model forward per point.
+
+    python tools/threshold_sweep.py --ckpt-dir /tmp/ckpt \
+        [--num-persons 2] [--det 0.1,0.15,0.2] [--nms 0.3,0.45] [--flip-tta]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--num-persons", type=int, default=2)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--det", default="0.10,0.15,0.20")
+    p.add_argument("--nms", default="0.30,0.45")
+    p.add_argument("--flip-tta", action="store_true")
+    args = p.parse_args(argv)
+
+    from ppn_tpu.apps.predict import load_state
+    from ppn_tpu.configs import get_config
+    from ppn_tpu.data.synthetic import SyntheticPoseDataset
+    from ppn_tpu.eval.runner import evaluate_pckh
+    from ppn_tpu.train import steps as st
+
+    base = get_config(args.config)
+    val = SyntheticPoseDataset(base, size=args.size, seed=10_000,
+                               cache=True, num_persons=args.num_persons)
+    graphdef, state = load_state(base, args.ckpt_dir)
+    forward = st.make_forward(base, graphdef, flip_tta=args.flip_tta)
+
+    best = None
+    for det in (float(x) for x in args.det.split(",")):
+        for nms in (float(x) for x in args.nms.split(",")):
+            cfg = dataclasses.replace(base, model=dataclasses.replace(
+                base.model, detection_thresh=det, nms_thresh=nms))
+            s = evaluate_pckh(cfg, forward, state, val,
+                              max_images=args.size,
+                              batch_size=args.batch_size)
+            rec = {"det": det, "nms": nms,
+                   "pckh_mean": round(s["pckh/mean"], 4)}
+            print(json.dumps(rec))
+            if best is None or rec["pckh_mean"] > best["pckh_mean"]:
+                best = rec
+    print("best:", json.dumps(best))
+
+
+if __name__ == "__main__":
+    main()
