@@ -48,6 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="torchvision-format ResNet .pth to initialize the "
                         "backbone from (the reference starts from ImageNet "
                         "resnet18 weights)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VALUE",
+                   help="generic dotted-path config override, applied after "
+                        "all other flags (e.g. --set data.rotate_deg=20 "
+                        "--set model.nms_thresh=0.45); repeatable")
     p.add_argument("--device-cache", choices=["auto", "on", "off"],
                    default="auto",
                    help="hold the whole dataset in device memory and sample "
@@ -110,6 +115,10 @@ def main(argv=None):
     if args.backbone is not None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, backbone=args.backbone))
+    if args.overrides:
+        from ppn_tpu.configs.overrides import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
 
     from ppn_tpu.data.pipeline import infinite_batches
     from ppn_tpu.train.trainer import Trainer
