@@ -34,7 +34,17 @@ def load_state(cfg, ckpt_dir=None):
     graphdef, state, _ = st.create_train_state(cfg)
     if ckpt_dir:
         ck = Checkpointer(ckpt_dir)
-        restored = ck.restore_latest(jax.device_get(state))
+        try:
+            restored = ck.restore_latest(jax.device_get(state))
+        except RuntimeError:
+            # The run may have trained with EMA while this config has it
+            # off (or vice versa): ema_params is present/absent in the
+            # saved tree. Retry with the opposite template before failing.
+            ema = 0.0 if cfg.train.ema_decay > 0 else 0.999
+            cfg2 = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, ema_decay=ema))
+            graphdef, state, _ = st.create_train_state(cfg2)
+            restored = ck.restore_latest(jax.device_get(state))
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
         step, state = restored

@@ -50,17 +50,11 @@ class Predictor:
     def from_checkpoint(cls, config: str | Config,
                         ckpt_dir: Optional[str] = None,
                         flip_tta: bool = False) -> "Predictor":
+        from ppn_tpu.apps.predict import load_state
         from ppn_tpu.train import steps as st
-        from ppn_tpu.train.checkpoint import Checkpointer
 
         cfg = get_config(config) if isinstance(config, str) else config
-        graphdef, state, _ = st.create_train_state(cfg)
-        if ckpt_dir:
-            ck = Checkpointer(ckpt_dir)
-            restored = ck.restore_latest(jax.device_get(state))
-            if restored is None:
-                raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-            _, state = restored
+        graphdef, state = load_state(cfg, ckpt_dir)
         model = nnx.merge(graphdef, st.eval_params(state), state.rest)
         model.eval()
         graphdef, params, rest = nnx.split(model, nnx.Param, ...)

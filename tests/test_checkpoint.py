@@ -65,3 +65,29 @@ def test_grain_loader_fallback_shapes():
     batches = list(it)
     assert len(batches) == 2
     assert batches[0]["image"].shape == (4, *cfg.model.insize, 3)
+
+
+def test_load_state_ema_template_mismatch(tmp_path):
+    """A checkpoint saved by an EMA-enabled run must load under a config
+    with EMA off (and vice versa): load_state retries with the opposite
+    ema_params template (regression: evaluate CLI failed on EMA runs)."""
+    from ppn_tpu.apps.predict import load_state
+
+    cfg_ema = dataclasses.replace(
+        get_config("tiny_test"),
+        train=dataclasses.replace(get_config("tiny_test").train,
+                                  ema_decay=0.999))
+    graphdef, state, _ = st.create_train_state(cfg_ema)
+    assert state.ema_params is not None
+    ck = Checkpointer(str(tmp_path / "ck"), async_save=False)
+    ck.save(5, jax.device_get(state))
+    ck.close()
+
+    # default config has ema_decay=0 -> template without ema_params
+    cfg_plain = get_config("tiny_test")
+    assert cfg_plain.train.ema_decay == 0.0
+    _, restored = load_state(cfg_plain, str(tmp_path / "ck"))
+    assert restored.ema_params is not None
+    ev = st.eval_params(restored)
+    for a, b in zip(jax.tree.leaves(ev), jax.tree.leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
