@@ -115,15 +115,43 @@ def _class_colors(k: int) -> np.ndarray:
         np.float32)
 
 
+def _glyphs(cfg: PPNConfig) -> tuple:
+    """(colors, side) per keypoint: mirror-paired appearance.
+
+    Both members of a flip pair share one color, and chirality is encoded
+    by a dark dot offset horizontally (+x for one member, −x for the
+    other). A horizontal image flip therefore turns the left glyph into
+    exactly the right glyph — flip-with-class-swap augmentation and
+    flip-TTA see a chirality-consistent world, like real images. (The
+    round-1 renderer gave each class a unique color with no chirality cue,
+    which made L/R labels 50/50-ambiguous under flip augmentation — the
+    model could not beat coin-flip on paired joints it had only color for.)
+    """
+    colors = _class_colors(cfg.num_keypoints).copy()
+    side = np.zeros(cfg.num_keypoints, np.float32)
+    for a, b in cfg.flip_pairs:
+        colors[b - 1] = colors[a - 1]
+        side[a - 1] = -1.0
+        side[b - 1] = +1.0
+    return colors, side
+
+
 def render(cfg: PPNConfig, sample: Dict[str, np.ndarray]) -> np.ndarray:
     """Render GT as an image a small convnet can learn from: a faint filled
-    person box plus one color-coded disk per visible joint."""
+    person box plus one color-coded disk per visible joint (paired joints
+    share a color and carry a mirrored chirality dot — see _glyphs)."""
     img_h, img_w = cfg.insize
     K = cfg.num_keypoints
     img = np.zeros((img_h, img_w, 3), np.float32)
-    colors = _class_colors(K)
+    colors, side = _glyphs(cfg)
     yy, xx = np.mgrid[0:img_h, 0:img_w].astype(np.float32)
 
+    # Person-box fills are additive (commutative), and overlapping joint
+    # glyphs resolve by nearest-joint-wins rather than draw order — both
+    # choices make the rendered image exactly mirror under a horizontal
+    # flip of the GT (pinned by tests/test_synthetic.py), independent of
+    # the order classes are visited in.
+    best_d = np.full((img_h, img_w), np.inf, np.float32)
     for p in range(sample["valid"].shape[0]):
         if not sample["valid"][p]:
             continue
@@ -131,14 +159,24 @@ def render(cfg: PPNConfig, sample: Dict[str, np.ndarray]) -> np.ndarray:
         inside = ((np.abs(xx - bcx) < bw / 2) &
                   (np.abs(yy - bcy) < bh / 2))
         img[inside] += 0.15
+    for p in range(sample["valid"].shape[0]):
+        if not sample["valid"][p]:
+            continue
+        bcx, bcy, bw, bh = sample["bboxes"][p]
         radius = 0.5 * cfg.parts_scale * float(np.hypot(bw, bh))
         radius = max(radius, 3.0)
         for k in range(K):
             if not sample["visible"][p, k]:
                 continue
             x, y = sample["keypoints"][p, k]
-            disk = (xx - x) ** 2 + (yy - y) ** 2 < radius ** 2
-            img[disk] = colors[k]
+            d = (xx - x) ** 2 + (yy - y) ** 2
+            win = (d < radius ** 2) & (d < best_d)
+            img[win] = colors[k]
+            if side[k]:
+                dot = ((xx - (x + side[k] * 0.55 * radius)) ** 2
+                       + (yy - y) ** 2 < (0.35 * radius) ** 2)
+                img[dot & win] = 0.0
+            best_d[win] = d[win]
     return np.clip(img, 0.0, 1.0)
 
 

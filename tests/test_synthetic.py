@@ -53,6 +53,32 @@ def test_root_child_always_annotated():
                 assert s["visible"][p][root - 1]
 
 
+def test_render_is_chirality_consistent_under_flip():
+    """np.flip(render(GT)) must equal render(mirrored GT with L/R class
+    swap) exactly — the property that makes flip-with-class-swap
+    augmentation and flip-TTA label-noise-free on synthetic data.
+    (Pixel-grid mirror: index u ↔ W−1−u, so keypoint x maps to W−1−x.)"""
+    from ppn_tpu.data.synthetic import random_people, render
+
+    cfg = get_config("mpii_r18_384").model
+    W = cfg.insize[1]
+    rng = np.random.default_rng(23)
+    s = random_people(rng, cfg, max_persons=2, num_persons=2)
+
+    perm = np.arange(cfg.num_keypoints)
+    for a, b in cfg.flip_pairs:
+        perm[a - 1], perm[b - 1] = perm[b - 1], perm[a - 1]
+
+    m = {k: v.copy() for k, v in s.items()}
+    m["keypoints"][..., 0] = (W - 1) - m["keypoints"][..., 0]
+    m["keypoints"] = m["keypoints"][:, perm]
+    m["visible"] = m["visible"][:, perm]
+    m["bboxes"][..., 0] = (W - 1) - m["bboxes"][..., 0]
+
+    np.testing.assert_array_equal(
+        np.flip(render(cfg, s), axis=1), render(cfg, m))
+
+
 def test_annotation_dropout_still_occurs():
     """The generator must still exercise the masked-loss / partial-person
     paths: some joints unannotated across a modest sample."""
