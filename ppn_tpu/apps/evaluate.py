@@ -33,20 +33,25 @@ def main(argv=None):
                    help="horizontal-flip test-time augmentation: average "
                         "the mirrored prediction in logit space (ops/tta.py)")
     p.add_argument("--detection-thresh", type=float, default=None,
-                   help="override cfg.model.detection_thresh (the reference "
-                        "exposes the same knob in config.ini)")
+                   help="shorthand for --set model.detection_thresh=X (the "
+                        "reference exposes the same knob in config.ini)")
     p.add_argument("--nms-thresh", type=float, default=None,
-                   help="override cfg.model.nms_thresh")
+                   help="shorthand for --set model.nms_thresh=X")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VALUE",
+                   help="generic dotted-path config override (repeatable)")
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
-    overrides = {k: v for k, v in
-                 [("detection_thresh", args.detection_thresh),
-                  ("nms_thresh", args.nms_thresh)] if v is not None}
+    overrides = list(args.overrides)
+    if args.detection_thresh is not None:
+        overrides.append(f"model.detection_thresh={args.detection_thresh}")
+    if args.nms_thresh is not None:
+        overrides.append(f"model.nms_thresh={args.nms_thresh}")
     if overrides:
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, **overrides))
+        from ppn_tpu.configs.overrides import apply_overrides
+
+        cfg = apply_overrides(cfg, overrides)
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.apps.train import make_datasets
     from ppn_tpu.eval.runner import evaluate_pckh

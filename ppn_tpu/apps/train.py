@@ -125,7 +125,8 @@ def main(argv=None):
 
     train_ds, val_ds = make_datasets(cfg, args)
     Hc, Wc = cfg.model.insize
-    est_bytes = len(train_ds) * Hc * Wc * 3  # uint8 images dominate
+    px_bytes = 1 if cfg.data.transfer_uint8 else 4  # uint8 vs float32 cache
+    est_bytes = len(train_ds) * Hc * Wc * 3 * px_bytes  # images dominate
     use_cache = (args.device_cache == "on"
                  or (args.device_cache == "auto" and est_bytes < 2 << 30))
     if use_cache:

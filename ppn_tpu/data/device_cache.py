@@ -64,7 +64,16 @@ class DeviceCache:
     def infinite_batches(self, batch_size: int, *, seed: int = 0
                          ) -> Iterator[Dict[str, jax.Array]]:
         """Shuffled epochs forever — the DataLoader-equivalent hot feed,
-        moving 4 bytes/image over the host link instead of ~440 KB."""
+        moving 4 bytes/image over the host link instead of ~440 KB.
+
+        Datasets smaller than one batch are sampled with replacement
+        (matching pipeline.infinite_batches — the overfit path), instead
+        of spinning on empty epochs forever.
+        """
+        if self.size < batch_size:
+            rng = np.random.default_rng(seed)
+            while True:
+                yield self.batch(rng.integers(0, self.size, batch_size))
         epoch = 0
         while True:
             yield from self.epoch_shuffled_batches(batch_size,

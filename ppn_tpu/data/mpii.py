@@ -155,8 +155,19 @@ class MPIIDataset:
             visible[p] = kvis
             bboxes[p] = self._instance_box(rec, kp, kvis, sx, sy)
             valid[p] = True
-            headsizes[p] = (headsize * (sx + sy) / 2 if headsize > 0
-                            else 0.2 * float(np.hypot(*bboxes[p, 2:4])))
+            if headsize > 0:
+                headsizes[p] = headsize * (sx + sy) / 2
+            else:
+                # Derive the PCKh threshold from the *tight* keypoint
+                # extent, not the instance box: center/scale boxes are the
+                # full 200·scale square, whose diagonal is ~45% larger —
+                # using it would silently loosen PCKh for exactly the
+                # persons lacking head annotations.
+                vpts = kp[kvis]
+                ext_w = max(float(vpts[:, 0].max() - vpts[:, 0].min()), 8.0)
+                ext_h = max(float(vpts[:, 1].max() - vpts[:, 1].min()), 8.0)
+                headsizes[p] = 0.2 * float(np.hypot(ext_w * 1.15,
+                                                    ext_h * 1.15))
 
         return {
             "image": np.asarray(img, np.float32) / 255.0,

@@ -36,11 +36,9 @@ class Predictor:
             m = nnx.merge(graphdef, params, rest)
             fm = m(images)
             if flip_tta:
-                import jax.numpy as jnp
-
-                from ppn_tpu.ops.tta import merge_flip_tta
+                from ppn_tpu.ops.tta import merge_flip_tta, mirror_images
                 fm = merge_flip_tta(cfg.model, fm,
-                                    m(jnp.flip(images, axis=2)))
+                                    m(mirror_images(images)))
             return post.postprocess_batch_fast_fn(cfg.model, fm)
 
         self._run = _run

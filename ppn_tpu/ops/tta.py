@@ -73,11 +73,25 @@ def flip_feature_map(cfg: PPNConfig, fm: jnp.ndarray) -> jnp.ndarray:
          grp(raw.y), grp(raw.w), grp(raw.h), e_flat], axis=-1)
 
 
+def mirror_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Mirror (B, H, W, C) pixels under the continuous x → W − x convention.
+
+    This is the convention the augmentation flip-affine and the feature-map
+    mirror algebra use (cell j ↔ W'−1−j with offset σ ↔ 1−σ decodes to
+    exactly W − x). A bare ``jnp.flip`` maps index u → W−1−u, i.e.
+    x → W−1−x — a systematic 1-pixel bias on the mirrored branch; rolling
+    the flipped image right by one realigns it (index u → W−u, with the
+    wrapped column matching an edge-clamped warp up to one border pixel).
+    Exactly involutive: ``mirror_images(mirror_images(x)) == x``.
+    """
+    return jnp.roll(jnp.flip(images, axis=2), 1, axis=2)
+
+
 def merge_flip_tta(cfg: PPNConfig, fm: jnp.ndarray,
                    fm_flipped: jnp.ndarray) -> jnp.ndarray:
     """Average the direct map with the mapped-back mirror prediction.
 
-    ``fm_flipped`` is the raw model output on ``jnp.flip(images, W-axis)``.
+    ``fm_flipped`` is the raw model output on ``mirror_images(images)``.
     """
     fm = fm.astype(jnp.float32)
     return 0.5 * (fm + flip_feature_map(cfg, fm_flipped.astype(jnp.float32)))

@@ -34,9 +34,19 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
         return
+    # Treat any auto-detectable multi-process launch as "configured":
+    # explicit coordinator envs, a SLURM multi-task allocation, an
+    # OpenMPI/PMI world, or a TPU pod runtime. A connection failure in
+    # any of these must raise — each node silently proceeding
+    # single-process (same seed, clobbering checkpoints) is the failure
+    # mode this guards against.
     env_configured = any(
         os.environ.get(k) for k in
-        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")) or (
+        int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1) or (
+        int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1") or 1) > 1) or (
+        int(os.environ.get("PMI_SIZE", "1") or 1) > 1) or (
+        os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
     try:
         jax.distributed.initialize()
     except Exception:

@@ -212,9 +212,9 @@ def make_forward(cfg: Config, graphdef: nnx.GraphDef, *,
         model.eval()
         fm = model(images)
         if flip_tta:
-            from ppn_tpu.ops.tta import merge_flip_tta
+            from ppn_tpu.ops.tta import merge_flip_tta, mirror_images
             fm = merge_flip_tta(cfg.model, fm,
-                                model(jnp.flip(images, axis=2)))
+                                model(mirror_images(images)))
         return fm
 
     return forward

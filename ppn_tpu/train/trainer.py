@@ -61,7 +61,27 @@ class Trainer:
 
         self.ckpt = Checkpointer(cfg.train.checkpoint_dir)
         if cfg.train.resume:
-            restored = self.ckpt.restore_latest(jax.device_get(self.state))
+            try:
+                restored = self.ckpt.restore_latest(
+                    jax.device_get(self.state))
+            except RuntimeError:
+                # EMA toggled between runs: the saved tree has/lacks
+                # ema_params vs our template. Retry with the opposite
+                # template, then reconcile to this run's config: seed EMA
+                # from the restored params when turning it on, drop it
+                # when turning it off.
+                import dataclasses as _dc
+
+                flipped = _dc.replace(cfg, train=_dc.replace(
+                    cfg.train,
+                    ema_decay=0.0 if cfg.train.ema_decay > 0 else 0.999))
+                _, tmpl, _ = st.create_train_state(flipped)
+                restored = self.ckpt.restore_latest(jax.device_get(tmpl))
+                if restored is not None:
+                    step_, rs = restored
+                    ema = (jax.tree.map(np.copy, rs.params)
+                           if cfg.train.ema_decay > 0 else None)
+                    restored = (step_, _dc.replace(rs, ema_params=ema))
             if restored is not None:
                 step, rstate = restored
                 self.state = (replicate(self.mesh, rstate)

@@ -91,3 +91,19 @@ def test_load_state_ema_template_mismatch(tmp_path):
     ev = st.eval_params(restored)
     for a, b in zip(jax.tree.leaves(ev), jax.tree.leaves(state.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_resume_across_ema_toggle(tmp_path):
+    """Resume must survive toggling --ema-decay between runs (regression:
+    structure mismatch crashed the resume instead of reconciling)."""
+    from ppn_tpu.apps import train as train_app
+
+    ck = str(tmp_path / "ck")
+    train_app.main(["--config", "tiny_test", "--overfit", "2", "--steps",
+                    "2", "--ckpt-dir", ck])
+    # EMA off -> on: resumes, seeds EMA from restored params
+    train_app.main(["--config", "tiny_test", "--overfit", "2", "--steps",
+                    "4", "--ckpt-dir", ck, "--ema-decay", "0.9"])
+    # EMA on -> off: resumes, drops EMA
+    train_app.main(["--config", "tiny_test", "--overfit", "2", "--steps",
+                    "6", "--ckpt-dir", ck])

@@ -180,3 +180,41 @@ def test_coco_end_to_end_encode(coco_root):
                           s["bboxes"], s["valid"])
     assert np.asarray(t.delta).sum() > 0
     assert t.te.shape[2] == cfg.model.num_limbs
+
+
+def test_mpii_headsize_fallback_uses_keypoint_extent(tmp_path):
+    """A record with center/scale but no headbox must get its PCKh
+    threshold from the tight keypoint extent, not the 200*scale instance
+    box (regression: the box-based fallback loosened PCKh ~45% for
+    exactly the persons lacking head annotations)."""
+    import json as _json
+
+    from PIL import Image as _Image
+
+    from ppn_tpu.data.mpii import MPIIDataset
+
+    root = tmp_path / "mpii2"
+    (root / "images").mkdir(parents=True)
+    (root / "annot").mkdir()
+    _Image.fromarray(np.zeros((240, 320, 3), np.uint8)).save(
+        root / "images" / "a.jpg")
+    joints = [[100 + 5 * i, 100 + 3 * i] for i in range(16)]
+    # upper_neck (8) unannotated -> no head-segment headsize either
+    jv = [1] * 16
+    jv[8] = 0
+    rec = {"image": "a.jpg", "joints": joints, "joints_vis": jv,
+           "center": [160, 120], "scale": 1.5}
+    with open(root / "annot" / "train.json", "w") as f:
+        _json.dump([rec], f)
+
+    cfg = get_config("mpii_r18_384")
+    ds = MPIIDataset(cfg, str(root), "annot/train.json")
+    s = ds[0]
+    hs = float(s["headsizes"][0])
+    box_diag_based = 0.2 * float(np.hypot(*s["bboxes"][0, 2:4]))
+    kp = s["keypoints"][0][s["visible"][0]]
+    ext_based = 0.2 * float(np.hypot(
+        max(kp[:, 0].max() - kp[:, 0].min(), 8.0) * 1.15,
+        max(kp[:, 1].max() - kp[:, 1].min(), 8.0) * 1.15))
+    assert abs(hs - ext_based) < 1e-3
+    assert hs < box_diag_based * 0.8  # clearly tighter than the box diag

@@ -78,3 +78,16 @@ def test_cached_batches_reshard_onto_data_mesh():
     assert batch["image"].sharding.spec[0] == "data"
     _, terms = step(state, batch)
     assert np.isfinite(float(jax.device_get(terms["loss_total"])))
+
+
+def test_small_dataset_samples_with_replacement():
+    """Regression: datasets smaller than one batch must yield (with
+    replacement), not spin forever on empty epochs — train.py auto-enables
+    the cache for exactly these small --overfit datasets."""
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=3, seed=2)
+    cache = DeviceCache(ds, image_uint8=True)
+    it = cache.infinite_batches(8, seed=0)
+    for _ in range(3):
+        b = next(it)
+        assert b["image"].shape[0] == 8

@@ -91,6 +91,33 @@ def test_initialize_noop_single_host(monkeypatch):
         multihost.initialize()
 
 
+def test_initialize_raises_on_autodetected_cluster(monkeypatch):
+    """SLURM/MPI/TPU-pod launches (auto-detected, no coordinator env) must
+    also fail loudly — each node silently training single-process with the
+    same seed is the misconfiguration this guards against."""
+    import pytest
+
+    from ppn_tpu.parallel import multihost
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
+              "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(k, raising=False)
+
+    def boom(*a, **k):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    for env, val in (("SLURM_NTASKS", "8"),
+                     ("OMPI_COMM_WORLD_SIZE", "4"),
+                     ("TPU_WORKER_HOSTNAMES", "host0,host1")):
+        monkeypatch.setenv(env, val)
+        with pytest.raises(RuntimeError, match="unreachable"):
+            multihost.initialize()
+        monkeypatch.delenv(env)
+    multihost.initialize()  # clean single-host env: still a no-op
+
+
 def test_is_primary():
     from ppn_tpu.parallel import multihost
 

@@ -86,9 +86,20 @@ def test_flip_feature_map_is_involution():
     np.testing.assert_allclose(np.asarray(twice), fm, rtol=0, atol=0)
 
 
+def test_mirror_images_is_involution_and_matches_warp_convention():
+    rng = np.random.default_rng(4)
+    x = rng.random((1, 4, 6, 3), np.float32)
+    m = np.asarray(tta.mirror_images(x))
+    # index u -> W-u (the augment flip-affine convention), not W-1-u
+    np.testing.assert_array_equal(m[:, :, 1], x[:, :, 5])
+    np.testing.assert_array_equal(m[:, :, 5], x[:, :, 1])
+    np.testing.assert_array_equal(
+        np.asarray(tta.mirror_images(m)), x)
+
+
 def test_tta_forward_is_flip_invariant():
     """make_forward(flip_tta=True) commutes with mirroring the input:
-    f(flip(x)) == flip_feature_map(f(x)) — i.e. TTA output carries no
+    f(mirror(x)) == flip_feature_map(f(x)) — i.e. TTA output carries no
     left/right bias from the network weights."""
     from ppn_tpu.train import steps as st
 
@@ -99,7 +110,7 @@ def test_tta_forward_is_flip_invariant():
     rng = np.random.default_rng(1)
     imgs = rng.random((2, *cfg.model.insize, 3), np.float32)
     fm = fwd(state, imgs)
-    fm_m = fwd(state, np.ascontiguousarray(imgs[:, :, ::-1]))
+    fm_m = fwd(state, np.asarray(tta.mirror_images(imgs)))
     np.testing.assert_allclose(
         np.asarray(tta.flip_feature_map(cfg.model, fm_m)), np.asarray(fm),
         rtol=0, atol=2e-5)

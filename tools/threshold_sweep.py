@@ -1,7 +1,10 @@
 """Sweep postprocess operating points (detection/NMS thresholds) on a
 trained checkpoint — the reference exposes the same knobs in config.ini†
-(SURVEY.md §2.1 Config row); this finds the PCKh-optimal pair without
-re-running the model forward per point.
+(SURVEY.md §2.1 Config row).
+
+The model forward runs ONCE over the val set; the cached feature maps are
+re-postprocessed per (det, nms) point (each distinct cfg re-traces the
+jitted postprocess, but never the backbone).
 
     python tools/threshold_sweep.py --ckpt-dir /tmp/ckpt \
         [--num-persons 2] [--det 0.1,0.15,0.2] [--nms 0.3,0.45] [--flip-tta]
@@ -14,6 +17,8 @@ import dataclasses
 import json
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,10 +35,15 @@ def main(argv=None):
     p.add_argument("--flip-tta", action="store_true")
     args = p.parse_args(argv)
 
+    import jax
+
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.configs import get_config
+    from ppn_tpu.data.pipeline import epoch_batches
     from ppn_tpu.data.synthetic import SyntheticPoseDataset
-    from ppn_tpu.eval.runner import evaluate_pckh
+    from ppn_tpu.eval.pckh import PCKhEvaluator
+    from ppn_tpu.eval.runner import synthetic_headsizes
+    from ppn_tpu.ops import postprocess as post
     from ppn_tpu.train import steps as st
 
     base = get_config(args.config)
@@ -42,16 +52,32 @@ def main(argv=None):
     graphdef, state = load_state(base, args.ckpt_dir)
     forward = st.make_forward(base, graphdef, flip_tta=args.flip_tta)
 
+    # Forward once; keep (feature map, GT) per batch on host.
+    cached = []
+    rng = np.random.default_rng(0)
+    for batch in epoch_batches(val, args.batch_size, rng=rng,
+                               shuffle=False, drop_remainder=False):
+        fm = np.asarray(jax.device_get(forward(state, batch["image"])))
+        cached.append((fm, batch))
+
     best = None
     for det in (float(x) for x in args.det.split(",")):
         for nms in (float(x) for x in args.nms.split(",")):
             cfg = dataclasses.replace(base, model=dataclasses.replace(
                 base.model, detection_thresh=det, nms_thresh=nms))
-            s = evaluate_pckh(cfg, forward, state, val,
-                              max_images=args.size,
-                              batch_size=args.batch_size)
+            ev = PCKhEvaluator(cfg.model)
+            for fm, batch in cached:
+                people = jax.device_get(
+                    post.postprocess_batch_fast(cfg.model, fm))
+                for i in range(fm.shape[0]):
+                    one = jax.tree.map(lambda x: x[i], people)
+                    hs = (batch["headsizes"][i] if "headsizes" in batch
+                          else synthetic_headsizes(batch["bboxes"][i]))
+                    ev.add_image(one, batch["keypoints"][i],
+                                 batch["visible"][i], batch["bboxes"][i],
+                                 batch["valid"][i], hs)
             rec = {"det": det, "nms": nms,
-                   "pckh_mean": round(s["pckh/mean"], 4)}
+                   "pckh_mean": round(ev.summarize()["pckh/mean"], 4)}
             print(json.dumps(rec))
             if best is None or rec["pckh_mean"] > best["pckh_mean"]:
                 best = rec
