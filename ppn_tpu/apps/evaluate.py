@@ -29,6 +29,9 @@ def main(argv=None):
                    help="synthetic data: fixed persons per image (default: "
                         "random 1..max_persons) — match the training eval "
                         "protocol")
+    p.add_argument("--metric", default="pckh", choices=["pckh", "oks"],
+                   help="pckh = MPII PCKh@0.5; oks = COCO-style OKS "
+                        "AP/AP50/AP75 (SURVEY.md §6 config 4)")
     p.add_argument("--flip-tta", action="store_true",
                    help="horizontal-flip test-time augmentation: average "
                         "the mirrored prediction in logit space (ops/tta.py)")
@@ -54,7 +57,7 @@ def main(argv=None):
         cfg = apply_overrides(cfg, overrides)
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.apps.train import make_datasets
-    from ppn_tpu.eval.runner import evaluate_pckh
+    from ppn_tpu.eval.runner import evaluate_oks, evaluate_pckh
     from ppn_tpu.train import steps as st
 
     class _A:
@@ -70,9 +73,10 @@ def main(argv=None):
 
     graphdef, state = load_state(cfg, args.ckpt_dir)
     forward = st.make_forward(cfg, graphdef, flip_tta=args.flip_tta)
-    summary = evaluate_pckh(cfg, forward, state, val,
-                            max_images=args.max_images,
-                            batch_size=args.batch_size)
+    evaluate = evaluate_pckh if args.metric == "pckh" else evaluate_oks
+    summary = evaluate(cfg, forward, state, val,
+                       max_images=args.max_images,
+                       batch_size=args.batch_size)
     print(json.dumps({k: round(v, 4) for k, v in summary.items()}, indent=1))
 
 
