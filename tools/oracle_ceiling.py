@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--seed", type=int, default=10_000,
                    help="10000 = the train CLI's held-out val seed")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VALUE",
+                   help="dotted-path config override, e.g. "
+                        "--set model.nms_thresh=0.6 (the ceiling depends "
+                        "on the postprocess operating point)")
     args = p.parse_args(argv)
 
     from ppn_tpu.configs import get_config
@@ -38,6 +43,10 @@ def main(argv=None):
     from ppn_tpu.ops import postprocess as post
 
     cfg = get_config(args.config)
+    if args.overrides:
+        from ppn_tpu.configs.overrides import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
     m = cfg.model
     ds = SyntheticPoseDataset(cfg, size=args.size, seed=args.seed,
                               num_persons=args.num_persons)
