@@ -97,6 +97,9 @@ def main(argv=None):
     p.add_argument("--synthetic", type=int, default=None,
                    help="use synthetic sample N instead of --image")
     p.add_argument("--out", default=None, help="write visualization PNG")
+    p.add_argument("--flip-tta", action="store_true",
+                   help="horizontal-flip TTA: merge the mirrored "
+                        "prediction in logit space (ops/tta.py)")
     args = p.parse_args(argv)
     if (args.image is None) == (args.synthetic is None):
         p.error("exactly one of --image / --synthetic is required")
@@ -107,7 +110,7 @@ def main(argv=None):
 
     graphdef, state = load_state(cfg, args.ckpt_dir)
     image = load_image(cfg, args)
-    forward = st.make_forward(cfg, graphdef)
+    forward = st.make_forward(cfg, graphdef, flip_tta=args.flip_tta)
     fm = forward(state, image[None])
     people = post.postprocess_batch_fast(cfg.model, fm)
     people = jax.device_get(jax.tree.map(lambda x: x[0], people))
