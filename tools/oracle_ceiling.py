@@ -48,8 +48,9 @@ def main(argv=None):
 
         cfg = apply_overrides(cfg, args.overrides)
     m = cfg.model
+    np_ = args.num_persons if args.num_persons > 0 else None  # 0 = random
     ds = SyntheticPoseDataset(cfg, size=args.size, seed=args.seed,
-                              num_persons=args.num_persons)
+                              num_persons=np_)
     ev = PCKhEvaluator(m)
     for i in range(args.size):
         s = ds[i]
@@ -61,7 +62,9 @@ def main(argv=None):
         ev.add_image(one, s["keypoints"], s["visible"], s["bboxes"],
                      s["valid"], synthetic_headsizes(s["bboxes"]))
     summ = ev.summarize()
-    print(f"oracle ceiling ({args.num_persons}-person, {args.size} images, "
+    label = (f"{args.num_persons}-person" if np_ is not None
+             else f"random-1..{cfg.data.max_persons}-person")
+    print(f"oracle ceiling ({label}, {args.size} images, "
           f"seed {args.seed}): PCKh@0.5 mean = {summ['pckh/mean']:.4f}")
     return 0
 
