@@ -1,0 +1,71 @@
+"""Attribute serving-batch time: model forward vs fused postprocess.
+
+Times three jitted stages at the serving batch (forward-only,
+postprocess-only on a precomputed feature map, full pipeline) so the
+headline img/s number has a cost breakdown — the input for deciding where
+the next kernel-optimization effort goes.
+
+    python tools/serving_split.py [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ppn_tpu.bench.suite import _flagship
+    from ppn_tpu.ops import postprocess as post
+    from ppn_tpu.utils.profiling import timeit
+
+    cfg, graphdef, params, rest = _flagship(args.config)
+    from flax import nnx
+
+    @jax.jit
+    def forward(params, rest, images):
+        m = nnx.merge(graphdef, params, rest)
+        return m(images)
+
+    @jax.jit
+    def pp(fm):
+        return post.postprocess_batch_fast_fn(cfg.model, fm)
+
+    @jax.jit
+    def full(params, rest, images):
+        return post.postprocess_batch_fast_fn(
+            cfg.model, nnx.merge(graphdef, params, rest)(images))
+
+    img = jax.device_put(np.random.default_rng(0).random(
+        (args.batch, *cfg.model.insize, 3), np.float32))
+    fm = jax.block_until_ready(forward(params, rest, img))
+
+    t_fwd = timeit(forward, params, rest, img, iters=args.iters)
+    t_pp = timeit(pp, fm, iters=args.iters)
+    t_full = timeit(full, params, rest, img, iters=args.iters)
+    print(json.dumps({
+        "batch": args.batch,
+        "forward_ms": round(t_fwd * 1e3, 3),
+        "postprocess_ms": round(t_pp * 1e3, 3),
+        "full_ms": round(t_full * 1e3, 3),
+        "postprocess_share_pct": round(100 * t_pp / t_full, 1),
+        "images_per_sec_full": round(args.batch / t_full, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
