@@ -46,11 +46,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = get_config(args.config)
-    overrides = list(args.overrides)
+    # shorthand flags first, generic --set last: --set is documented as
+    # "applied after all other flags" (same precedence as apps/train.py)
+    overrides = []
     if args.detection_thresh is not None:
         overrides.append(f"model.detection_thresh={args.detection_thresh}")
     if args.nms_thresh is not None:
         overrides.append(f"model.nms_thresh={args.nms_thresh}")
+    overrides += list(args.overrides)
     if overrides:
         from ppn_tpu.configs.overrides import apply_overrides
 

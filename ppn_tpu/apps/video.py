@@ -159,13 +159,29 @@ def main(argv=None):
     # *next* frame to arrive from the source (which the old
     # finish-on-next-dispatch scheme folded into every sample).
     results: queue.Queue = queue.Queue(maxsize=8)
+    consumer_error: list = []
 
     def consumer():
         while True:
             item = results.get()
             if item is None:
                 return
-            finish(*item)
+            try:
+                finish(*item)
+            except BaseException as e:  # surface in the main thread
+                consumer_error.append(e)
+                return
+
+    def put_checked(item):
+        """Enqueue without deadlocking if the consumer died mid-run."""
+        while True:
+            if consumer_error:
+                raise consumer_error[0]
+            try:
+                results.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     ct = threading.Thread(target=consumer, daemon=True)
     ct.start()
@@ -180,9 +196,11 @@ def main(argv=None):
         if args.no_overlap:
             finish(t0, handle, frame)
         else:
-            results.put((t0, handle, frame))
-    results.put(None)
+            put_checked((t0, handle, frame))
+    put_checked(None)
     ct.join()
+    if consumer_error:
+        raise consumer_error[0]
     wall = time.perf_counter() - t_start
 
     lat = np.asarray(latencies[3:] or latencies)  # skip warmup/compile

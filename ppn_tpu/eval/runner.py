@@ -18,15 +18,35 @@ def synthetic_headsizes(bboxes: np.ndarray) -> np.ndarray:
     return 0.2 * np.hypot(bboxes[..., 2], bboxes[..., 3])
 
 
+def pad_batch(batch: dict, bs: int) -> Tuple[dict, int]:
+    """Pad a trailing partial batch to the fixed batch size — a new shape
+    would mean a new jit trace, and remote-TPU compiles are minutes long
+    (VERDICT r1 weak #3). Returns (padded batch, n_real); padded rows must
+    never be scored."""
+    n_real = batch["image"].shape[0]
+    if n_real < bs:
+        batch = {k: np.concatenate(
+            [v, np.repeat(v[:1], bs - n_real, axis=0)])
+            for k, v in batch.items()}
+    return batch, n_real
+
+
+def add_pckh_batch(ev: PCKhEvaluator, people, batch: dict,
+                   n_real: int) -> None:
+    """Score one parsed batch into a PCKh evaluator (shared by the eval
+    runner and tools/threshold_sweep.py — one protocol, one code path)."""
+    for i in range(n_real):
+        one = jax.tree.map(lambda x: x[i], people)
+        hs = (batch["headsizes"][i] if "headsizes" in batch
+              else synthetic_headsizes(batch["bboxes"][i]))
+        ev.add_image(one, batch["keypoints"][i], batch["visible"][i],
+                     batch["bboxes"][i], batch["valid"][i], hs)
+
+
 def _forward_batches(cfg: Config, forward, state, dataset,
                      max_images: int, batch_size: Optional[int]
                      ) -> Iterator[Tuple[dict, dict, int]]:
-    """Yield (parsed people, host batch, n_real) over an eval slice.
-
-    Trailing partial batches are padded to the fixed batch size — a new
-    shape would mean a new jit trace, and remote-TPU compiles are minutes
-    long (VERDICT r1 weak #3). Padded rows are never scored.
-    """
+    """Yield (parsed people, host batch, n_real) over an eval slice."""
     from ppn_tpu.data.pipeline import epoch_batches
 
     bs = batch_size or min(cfg.train.batch_size, 8)
@@ -34,11 +54,7 @@ def _forward_batches(cfg: Config, forward, state, dataset,
     rng = np.random.default_rng(0)
     for batch in epoch_batches(dataset, bs, rng=rng, shuffle=False,
                                drop_remainder=False):
-        n_real = batch["image"].shape[0]
-        if n_real < bs:
-            batch = {k: np.concatenate(
-                [v, np.repeat(v[:1], bs - n_real, axis=0)])
-                for k, v in batch.items()}
+        batch, n_real = pad_batch(batch, bs)
         fm = forward(state, batch["image"])
         people = jax.device_get(
             post.postprocess_batch_fast(cfg.model, fm))
@@ -58,12 +74,7 @@ def evaluate_pckh(cfg: Config, forward, state, dataset,
     ev = PCKhEvaluator(cfg.model)
     for people, batch, n_real in _forward_batches(
             cfg, forward, state, dataset, max_images, batch_size):
-        for i in range(n_real):
-            one = jax.tree.map(lambda x: x[i], people)
-            hs = (batch["headsizes"][i] if "headsizes" in batch
-                  else synthetic_headsizes(batch["bboxes"][i]))
-            ev.add_image(one, batch["keypoints"][i], batch["visible"][i],
-                         batch["bboxes"][i], batch["valid"][i], hs)
+        add_pckh_batch(ev, people, batch, n_real)
     return ev.summarize()
 
 

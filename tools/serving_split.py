@@ -28,6 +28,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from ppn_tpu.bench.suite import _flagship
     from ppn_tpu.ops import postprocess as post
@@ -42,19 +43,34 @@ def main(argv=None):
         return m(images)
 
     @jax.jit
+    def forward_scalar(params, rest, images):
+        # timing variant: reduce on device so the sync fetches one scalar,
+        # not the ~0.8 MB/img feature map over the host link (CLAUDE.md:
+        # never time code that fetches big arrays)
+        m = nnx.merge(graphdef, params, rest)
+        return m(images).astype(jnp.float32).sum()
+
+    def _scalarize(people):
+        # reduce to one scalar on device: syncs fetch ~4 bytes, not the
+        # ~1 MB People pytree over the host link
+        return (people.kp_box.sum()
+                + people.kp_score.sum()
+                + people.valid.astype(jnp.float32).sum())
+
+    @jax.jit
     def pp(fm):
-        return post.postprocess_batch_fast_fn(cfg.model, fm)
+        return _scalarize(post.postprocess_batch_fast_fn(cfg.model, fm))
 
     @jax.jit
     def full(params, rest, images):
-        return post.postprocess_batch_fast_fn(
-            cfg.model, nnx.merge(graphdef, params, rest)(images))
+        return _scalarize(post.postprocess_batch_fast_fn(
+            cfg.model, nnx.merge(graphdef, params, rest)(images)))
 
     img = jax.device_put(np.random.default_rng(0).random(
         (args.batch, *cfg.model.insize, 3), np.float32))
     fm = jax.block_until_ready(forward(params, rest, img))
 
-    t_fwd = timeit(forward, params, rest, img, iters=args.iters)
+    t_fwd = timeit(forward_scalar, params, rest, img, iters=args.iters)
     t_pp = timeit(pp, fm, iters=args.iters)
     t_full = timeit(full, params, rest, img, iters=args.iters)
     print(json.dumps({

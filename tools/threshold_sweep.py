@@ -42,7 +42,7 @@ def main(argv=None):
     from ppn_tpu.data.pipeline import epoch_batches
     from ppn_tpu.data.synthetic import SyntheticPoseDataset
     from ppn_tpu.eval.pckh import PCKhEvaluator
-    from ppn_tpu.eval.runner import synthetic_headsizes
+    from ppn_tpu.eval.runner import add_pckh_batch, pad_batch
     from ppn_tpu.ops import postprocess as post
     from ppn_tpu.train import steps as st
 
@@ -52,13 +52,16 @@ def main(argv=None):
     graphdef, state = load_state(base, args.ckpt_dir)
     forward = st.make_forward(base, graphdef, flip_tta=args.flip_tta)
 
-    # Forward once; keep (feature map, GT) per batch on host.
+    # Forward once; keep (feature map, GT) per batch on host. Batches are
+    # padded to one fixed shape (shared pad_batch) so the jitted forward
+    # and per-point postprocess each trace exactly once.
     cached = []
     rng = np.random.default_rng(0)
     for batch in epoch_batches(val, args.batch_size, rng=rng,
                                shuffle=False, drop_remainder=False):
+        batch, n_real = pad_batch(batch, args.batch_size)
         fm = np.asarray(jax.device_get(forward(state, batch["image"])))
-        cached.append((fm, batch))
+        cached.append((fm, batch, n_real))
 
     best = None
     for det in (float(x) for x in args.det.split(",")):
@@ -66,16 +69,10 @@ def main(argv=None):
             cfg = dataclasses.replace(base, model=dataclasses.replace(
                 base.model, detection_thresh=det, nms_thresh=nms))
             ev = PCKhEvaluator(cfg.model)
-            for fm, batch in cached:
+            for fm, batch, n_real in cached:
                 people = jax.device_get(
                     post.postprocess_batch_fast(cfg.model, fm))
-                for i in range(fm.shape[0]):
-                    one = jax.tree.map(lambda x: x[i], people)
-                    hs = (batch["headsizes"][i] if "headsizes" in batch
-                          else synthetic_headsizes(batch["bboxes"][i]))
-                    ev.add_image(one, batch["keypoints"][i],
-                                 batch["visible"][i], batch["bboxes"][i],
-                                 batch["valid"][i], hs)
+                add_pckh_batch(ev, people, batch, n_real)
             rec = {"det": det, "nms": nms,
                    "pckh_mean": round(ev.summarize()["pckh/mean"], 4)}
             print(json.dumps(rec))
