@@ -4,6 +4,8 @@ Capture thread + latest-frame inference loop, with resize/normalize fused on
 device (BASELINE config #5: streaming 720p). Sources:
 
 * ``--source cam`` / ``--source <video-file>`` (OpenCV capture)
+* ``--source <directory>`` — a folder of JPEG frames, decoded through the
+  native C++ pool (ppn_tpu/native) pipelined ahead of the device
 * ``--source synthetic`` — deterministic generated 720p frames, so the
   latency path is drivable offline and in CI.
 
@@ -67,6 +69,55 @@ def synthetic_frames(n: int, size=(720, 1280), seed: int = 0):
         yield (ds[i]["image"] * 255).astype(np.uint8)
 
 
+def jpeg_frames(dirpath: str, n: int, insize):
+    """JPEG files from a directory through the native decode pool.
+
+    Frames are decoded+resized to the network input size off the GIL with
+    submits pipelined a window ahead of consumption, then yielded as uint8
+    (the frame contract of the serving loop) — the DataLoader-worker
+    analog for file streams (ref:high_speed.py† reads cv2 frames; here the
+    host half of JPEG→poses runs in C++)."""
+    import os
+
+    from ppn_tpu.native.loader import NativeJpegLoader, available
+
+    files = sorted(
+        os.path.join(dirpath, f) for f in os.listdir(dirpath)
+        if f.lower().endswith((".jpg", ".jpeg")))
+    if not files:
+        raise RuntimeError(f"no .jpg files in {dirpath!r}")
+    paths = [files[i % len(files)] for i in range(n)]
+
+    if not available():
+        from ppn_tpu.native.loader import decode_resize
+
+        for p in paths:
+            with open(p, "rb") as f:
+                img = decode_resize(f.read(), insize)  # PIL fallback
+            yield (img * 255.0 + 0.5).astype(np.uint8)
+        return
+
+    loader = NativeJpegLoader(insize, num_workers=4)
+    try:
+        window = 8
+        submitted = 0
+        for p in paths[:window]:
+            with open(p, "rb") as f:
+                loader.submit(submitted, f.read())
+            submitted += 1
+        for _ in range(n):
+            _, img = loader.get()
+            if submitted < n:
+                with open(paths[submitted], "rb") as f:
+                    loader.submit(submitted, f.read())
+                submitted += 1
+            if img is None:
+                continue  # corrupt frame: skip, keep streaming
+            yield (img * 255.0 + 0.5).astype(np.uint8)
+    finally:
+        loader.close()
+
+
 def capture_frames(source: str):
     import cv2
 
@@ -104,8 +155,12 @@ def main(argv=None):
     graphdef, state = load_state(cfg, args.ckpt_dir)
     pipeline = make_video_pipeline(cfg, graphdef)
 
+    import os
+
     if args.source == "synthetic":
         frames = synthetic_frames(args.frames)
+    elif os.path.isdir(args.source):
+        frames = jpeg_frames(args.source, args.frames, cfg.model.insize)
     else:
         frames = capture_frames(args.source)
 

@@ -24,9 +24,10 @@ from ppn_tpu.configs.base import Config
 class COCOKeypointsDataset:
     def __init__(self, cfg: Config, root: str, annotations: str,
                  image_dir: str, indices: Optional[List[int]] = None,
-                 min_keypoints: int = 1):
+                 min_keypoints: int = 1, native_jpeg: bool = True):
         self.cfg = cfg
         self.image_dir = os.path.join(root, image_dir)
+        self.native_jpeg = native_jpeg  # C++ JPEG path (see data/imageio.py)
 
         with open(annotations if os.path.isabs(annotations)
                   else os.path.join(root, annotations)) as f:
@@ -49,18 +50,17 @@ class COCOKeypointsDataset:
         return len(self.ids)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
+        from ppn_tpu.data.imageio import load_resized
 
         cfg = self.cfg
         img_id = self.ids[idx]
         info = self.images[img_id]
         anns = self.by_image[img_id][: cfg.data.max_persons]
 
-        img = Image.open(
-            os.path.join(self.image_dir, info["file_name"])).convert("RGB")
-        W0, H0 = img.size
         Ht, Wt = cfg.model.insize
-        img = img.resize((Wt, Ht), Image.BILINEAR)
+        img, W0, H0 = load_resized(
+            os.path.join(self.image_dir, info["file_name"]), (Ht, Wt),
+            native_jpeg=self.native_jpeg)
         sx, sy = Wt / W0, Ht / H0
 
         P = cfg.data.max_persons
@@ -93,7 +93,7 @@ class COCOKeypointsDataset:
                 bw * sx, bh * sy)
 
         return {
-            "image": np.asarray(img, np.float32) / 255.0,
+            "image": img,  # float32 [0,1] from load_resized
             "keypoints": keypoints,
             "visible": visible,
             "bboxes": bboxes,

@@ -58,11 +58,19 @@ class MPIIDataset:
 
     def __init__(self, cfg: Config, root: str, annotations: str,
                  image_dir: str = "images",
-                 indices: Optional[List[int]] = None):
+                 indices: Optional[List[int]] = None,
+                 native_jpeg: bool = True):
         self.cfg = cfg
         self.root = root
         self.image_dir = os.path.join(root, image_dir)
         self.perm = _remap_indices(cfg)
+        # Decode+resize .jpg files through the C++ pool's one-shot path
+        # (ppn_tpu/native, off-GIL libjpeg — the host half of BASELINE's
+        # JPEG→poses metric). PIL remains the fallback and the non-JPEG
+        # path. NOTE (docs/PARITY.md): the native resize is plain
+        # half-pixel bilinear while PIL's BILINEAR applies an area filter
+        # on downscale — pixel-level differences, GT semantics identical.
+        self.native_jpeg = native_jpeg
 
         records = load_annotations(
             annotations if os.path.isabs(annotations)
@@ -125,15 +133,14 @@ class MPIIDataset:
         return ((x0 + x1) / 2, (y0 + y1) / 2, bw, bh)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
+        from ppn_tpu.data.imageio import load_resized
 
         cfg = self.cfg
         name = self.images[idx]
         recs = self.people[name][: cfg.data.max_persons]
-        img = Image.open(os.path.join(self.image_dir, name)).convert("RGB")
-        W0, H0 = img.size
         Ht, Wt = cfg.model.insize
-        img = img.resize((Wt, Ht), Image.BILINEAR)
+        img, W0, H0 = load_resized(os.path.join(self.image_dir, name),
+                                   (Ht, Wt), native_jpeg=self.native_jpeg)
         sx, sy = Wt / W0, Ht / H0
 
         P = cfg.data.max_persons
@@ -170,7 +177,7 @@ class MPIIDataset:
                                                     ext_h * 1.15))
 
         return {
-            "image": np.asarray(img, np.float32) / 255.0,
+            "image": img,  # float32 [0,1] from _load_resized
             "keypoints": keypoints,
             "visible": visible,
             "bboxes": bboxes,

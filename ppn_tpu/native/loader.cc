@@ -169,6 +169,32 @@ struct Loader {
 
 extern "C" {
 
+// Header-only probe: original (width, height) without a full decode.
+// Returns 0 on success, -1 on a corrupt/non-JPEG buffer. Needed by
+// dataset loaders whose GT coordinates must be rescaled by the original
+// image size before the resized pixels come back.
+int ppn_jpeg_dims(const uint8_t* jpeg, int64_t len, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(jpeg),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // One-shot: decode+resize into caller-provided (H*W*3) float32 buffer.
 // Returns 0 on success, -1 on decode failure.
 int ppn_decode_resize(const uint8_t* jpeg, int64_t len, int out_h, int out_w,

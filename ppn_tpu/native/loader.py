@@ -23,17 +23,25 @@ _lib = None
 _lib_lock = threading.Lock()
 
 
+def _rebuild() -> bool:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(["make", "-C", _DIR, "-s"], check=True,
-                               capture_output=True, timeout=120)
-            except Exception:
-                return None
+        src = os.path.join(_DIR, "loader.cc")
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(src))
+        if stale and not _rebuild() and not os.path.exists(_SO):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -42,6 +50,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ppn_decode_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float)]
+        try:
+            lib.ppn_jpeg_dims.restype = ctypes.c_int
+            lib.ppn_jpeg_dims.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        except AttributeError:
+            pass  # stale .so from before ppn_jpeg_dims; dims fall back to PIL
         lib.ppn_loader_create.restype = ctypes.c_void_p
         lib.ppn_loader_create.argtypes = [ctypes.c_int, ctypes.c_int,
                                           ctypes.c_int]
@@ -59,6 +74,25 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def jpeg_dims(jpeg_bytes: bytes) -> Tuple[int, int]:
+    """(width, height) from the JPEG header — no full decode.
+
+    Dataset loaders need the original size to rescale GT coordinates
+    before the resized pixels arrive.
+    """
+    lib = _load()
+    if lib is not None and hasattr(lib, "ppn_jpeg_dims"):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if lib.ppn_jpeg_dims(jpeg_bytes, len(jpeg_bytes),
+                             ctypes.byref(w), ctypes.byref(h)) == 0:
+            return int(w.value), int(h.value)
+        raise ValueError("corrupt JPEG (header unreadable)")
+    from PIL import Image
+
+    return Image.open(io.BytesIO(jpeg_bytes)).size
 
 
 def decode_resize(jpeg_bytes: bytes, out_size: Tuple[int, int]

@@ -41,14 +41,20 @@ postprocess_batch = partial(jax.jit, static_argnums=0)(postprocess_batch_fn)
 def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map) -> People:
     """Fastest batched postprocess for the current backend (composable).
 
-    On TPU this is the fused Pallas kernel (ops/pallas_post.py) — decode,
-    exact greedy NMS and limb parsing in one VMEM-resident kernel per
-    image; elsewhere the XLA pipeline. Results are elementwise identical
-    (tested).
+    On TPU this is a fused Pallas kernel — decode, exact greedy NMS and
+    limb parsing in one VMEM-resident program; elsewhere the XLA
+    pipeline. Results are elementwise identical (tested). Two kernel
+    variants: the batch-packed kernel (ops/pallas_post_packed.py, G
+    images per grid step — amortizes the per-image serial chains) when
+    the batch fills at least one group, else the per-image kernel.
     """
     if jax.default_backend() == "tpu":
         from ppn_tpu.ops.pallas_post import postprocess_batch_pallas
+        from ppn_tpu.ops.pallas_post_packed import (
+            group_size, postprocess_batch_packed)
 
+        if feature_map.shape[0] >= group_size(cfg):
+            return postprocess_batch_packed(cfg, feature_map)
         return postprocess_batch_pallas(cfg, feature_map)
     return postprocess_batch_fn(cfg, feature_map)
 

@@ -51,3 +51,48 @@ def test_pallas_on_oracle_scene():
     np.testing.assert_array_equal(np.asarray(ppl.valid),
                                   np.asarray(want.valid))
     assert np.asarray(ppl.valid).sum() >= 1
+
+
+@pytest.mark.parametrize("cname", ["tiny_test", "mpii_r18_384",
+                                   "coco_r18_384"])
+def test_packed_kernel_matches_xla(cname):
+    """Batch-packed kernel (G images per grid step, ops/pallas_post_packed)
+    vs the XLA pipeline — exact parity, including batch sizes that are not
+    multiples of the group size (padding path)."""
+    from ppn_tpu.ops.pallas_post_packed import postprocess_batch_packed
+
+    cfg = get_config(cname).model
+    for seed, B in ((0, 2), (1, 7), (2, 9)):
+        rng = np.random.default_rng(seed)
+        fm = rng.normal(0, 2, (B, *cfg.outsize, cfg.num_channels)).astype(
+            np.float32)
+        want = jax.device_get(post.postprocess_batch(cfg, fm))
+        got = jax.device_get(postprocess_batch_packed(cfg, fm, True))
+        for name in want._fields:
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(want, name))
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-4, atol=1e-4,
+                    err_msg=f"{cname} seed {seed} B {B} field {name}")
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{cname} seed {seed} B {B} field {name}")
+
+
+def test_packed_kernel_on_oracle_scene():
+    from ppn_tpu.data.synthetic import random_people
+    from ppn_tpu.ops import encode as enc
+    from ppn_tpu.ops.pallas_post_packed import postprocess_batch_packed
+
+    cfg = get_config("mpii_r18_384").model
+    rng = np.random.default_rng(7)
+    s = random_people(rng, cfg, max_persons=3, num_persons=2)
+    t = enc.encode_single(cfg, s["keypoints"], s["visible"], s["bboxes"],
+                          s["valid"])
+    fm = enc.targets_to_feature_map(cfg, t)[None]
+    ppl = jax.device_get(postprocess_batch_packed(cfg, fm, True))
+    want = jax.device_get(post.postprocess_batch(cfg, fm))
+    np.testing.assert_array_equal(np.asarray(ppl.valid),
+                                  np.asarray(want.valid))
+    assert np.asarray(ppl.valid).sum() >= 1
