@@ -73,13 +73,38 @@ def main(argv=None):
     t_fwd = timeit(forward_scalar, params, rest, img, iters=args.iters)
     t_pp = timeit(pp, fm, iters=args.iters)
     t_full = timeit(full, params, rest, img, iters=args.iters)
+
+    # device-only (chained-slope) numbers: per-call timings through the
+    # remote tunnel sit on a ~1.8 ms dispatch floor; these subtract it
+    from ppn_tpu.utils.profiling import device_latency_ms
+
+    def fwd_body(params, rest, images):
+        return nnx.merge(graphdef, params, rest)(images).astype(
+            jnp.float32).sum()
+
+    def pp_body(fmx):
+        return _scalarize(post.postprocess_batch_fast_fn(cfg.model, fmx))
+
+    def full_body(params, rest, images):
+        return _scalarize(post.postprocess_batch_fast_fn(
+            cfg.model, nnx.merge(graphdef, params, rest)(images)))
+
+    d_fwd = device_latency_ms(fwd_body, params, rest, img, iters=8)
+    d_pp = device_latency_ms(pp_body, fm, iters=16)
+    d_full = device_latency_ms(full_body, params, rest, img, iters=8)
+
     print(json.dumps({
         "batch": args.batch,
         "forward_ms": round(t_fwd * 1e3, 3),
         "postprocess_ms": round(t_pp * 1e3, 3),
         "full_ms": round(t_full * 1e3, 3),
-        "postprocess_share_pct": round(100 * t_pp / t_full, 1),
+        "postprocess_share_pct": round(100 * d_pp / d_full, 1),
         "images_per_sec_full": round(args.batch / t_full, 1),
+        "device_forward_ms": round(d_fwd, 3),
+        "device_postprocess_ms": round(d_pp, 3),
+        "device_full_ms": round(d_full, 3),
+        "device_images_per_sec": round(args.batch / d_full * 1e3, 1),
+        "includes_tunnel_rtt_in_ms_fields": True,
     }))
 
 
