@@ -1,0 +1,97 @@
+"""Stage attribution for the batch-packed postprocess kernel.
+
+Times the kernel with stages ablated (the `skip` flag of
+ops/pallas_post_packed.py) so regressions can be pinned to a stage:
+
+    full        — everything
+    no_nms      — suppression-mask build + fixpoint skipped
+    no_window   — limb-window maps (and their e DMA stream) skipped
+    no_walk     — tree walk + box gather skipped
+    decode_only — all three skipped: XLA prep transposes + decode floor
+
+    python tools/packed_split.py [--batch 128] [--config mpii_r18_384]
+
+Note: per-call timings through the remote tunnel include a ~1.8 ms
+dispatch floor; differences between variants are still valid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--interpret", action="store_true",
+                   help="Pallas interpret mode (auto-enabled off-TPU)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    interpret = args.interpret or jax.default_backend() != "tpu"
+
+    from ppn_tpu.configs import get_config
+    from ppn_tpu.ops.pallas_post_packed import postprocess_batch_packed
+
+    cfg = get_config(args.config).model
+    rng = np.random.default_rng(0)
+    fm = jax.device_put(rng.normal(0, 2, (args.batch, *cfg.outsize,
+                                          cfg.num_channels)
+                                   ).astype(np.float32))
+
+    def scalarize(ppl):
+        return (ppl.kp_box.sum() + ppl.kp_score.sum()
+                + ppl.valid.astype(jnp.float32).sum())
+
+    def timed(fn):
+        out = fn(fm)
+        jax.block_until_ready(out)
+        float(jax.device_get(out))
+
+        def once():
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                o = fn(fm)
+            jax.block_until_ready(o)
+            float(jax.device_get(o))
+            return (time.perf_counter() - t0) / args.iters
+
+        once()
+        return min(once() for _ in range(3))
+
+    results = {}
+    for name, sk in (("full", frozenset()),
+                     ("no_nms", frozenset({"nms"})),
+                     ("no_window", frozenset({"window"})),
+                     ("no_walk", frozenset({"walk"})),
+                     ("decode_only", frozenset({"nms", "window", "walk"}))):
+        fn = jax.jit(lambda x, sk=sk: scalarize(
+            postprocess_batch_packed(cfg, x, interpret, sk)))
+        results[name] = round(timed(fn) * 1e3, 3)
+        print(f"{name}: {results[name]} ms @B={args.batch}", flush=True)
+
+    full = results["full"]
+    print(json.dumps({
+        "batch": args.batch,
+        "full_ms": full,
+        "nms_ms": round(full - results["no_nms"], 3),
+        "window_ms": round(full - results["no_window"], 3),
+        "walk_ms": round(full - results["no_walk"], 3),
+        "prep_and_decode_ms": results["decode_only"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
