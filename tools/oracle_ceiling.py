@@ -33,6 +33,8 @@ def main(argv=None):
                    help="dotted-path config override, e.g. "
                         "--set model.nms_thresh=0.6 (the ceiling depends "
                         "on the postprocess operating point)")
+    p.add_argument("--per-joint", action="store_true",
+                   help="print the full per-joint PCKh dict")
     args = p.parse_args(argv)
 
     from ppn_tpu.configs import get_config
@@ -66,6 +68,11 @@ def main(argv=None):
              else f"random-1..{cfg.data.max_persons}-person")
     print(f"oracle ceiling ({label}, {args.size} images, "
           f"seed {args.seed}): PCKh@0.5 mean = {summ['pckh/mean']:.4f}")
+    if args.per_joint:
+        import json
+
+        print("per_joint:", json.dumps(
+            {k: round(v, 4) for k, v in summ.items()}))
     return 0
 
 

@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--det", default="0.10,0.15,0.20")
     p.add_argument("--nms", default="0.30,0.45")
     p.add_argument("--flip-tta", action="store_true")
+    p.add_argument("--per-joint", action="store_true",
+                   help="print the best point's full per-joint PCKh dict")
     args = p.parse_args(argv)
 
     import jax
@@ -73,12 +75,17 @@ def main(argv=None):
                 people = jax.device_get(
                     post.postprocess_batch_fast(cfg.model, fm))
                 add_pckh_batch(ev, people, batch, n_real)
+            summ = ev.summarize()
             rec = {"det": det, "nms": nms,
-                   "pckh_mean": round(ev.summarize()["pckh/mean"], 4)}
+                   "pckh_mean": round(summ["pckh/mean"], 4)}
             print(json.dumps(rec))
             if best is None or rec["pckh_mean"] > best["pckh_mean"]:
                 best = rec
+                best_summ = summ
     print("best:", json.dumps(best))
+    if args.per_joint:
+        print("per_joint:", json.dumps(
+            {k: round(v, 4) for k, v in best_summ.items()}))
 
 
 if __name__ == "__main__":
