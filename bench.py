@@ -50,7 +50,10 @@ def main():
     def pipeline(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
         fm = m(images)
-        people = post.postprocess_batch_fast_fn(cfg.model, fm)
+        # exact_bf16: lossless for model outputs (head computes in bf16);
+        # the packed kernel's prep views then move half the HBM bytes.
+        people = post.postprocess_batch_fast_fn(cfg.model, fm,
+                                                exact_bf16=True)
         return people.kp_box, people.kp_score, people.valid
 
     rng = np.random.default_rng(0)
@@ -92,7 +95,8 @@ def main():
 
     def body(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
-        return post.postprocess_batch_fast_fn(cfg.model, m(images))
+        return post.postprocess_batch_fast_fn(cfg.model, m(images),
+                                              exact_bf16=True)
 
     dev_ms = device_latency_ms(body, params, rest, images, iters=10)
     ips = batch / dev_ms * 1e3

@@ -46,7 +46,8 @@ def make_video_pipeline(cfg, graphdef):
         model = nnx.merge(graphdef, st.eval_params(state), state.rest)
         model.eval()
         fm = model(img[None])
-        people = post.postprocess_batch_fast_fn(cfg.model, fm)
+        people = post.postprocess_batch_fast_fn(cfg.model, fm,
+                                                exact_bf16=True)
         return jax.tree.map(lambda x: x[0], people)
 
     return run

@@ -46,7 +46,7 @@ def _pipeline_body(cfg, graphdef):
     def body(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
         fm = m(images)
-        p = post.postprocess_batch_fast_fn(cfg.model, fm)
+        p = post.postprocess_batch_fast_fn(cfg.model, fm, exact_bf16=True)
         return p.kp_box, p.kp_score, p.valid
 
     return body

@@ -39,7 +39,10 @@ class Predictor:
                 from ppn_tpu.ops.tta import merge_flip_tta, mirror_images
                 fm = merge_flip_tta(cfg.model, fm,
                                     m(mirror_images(images)))
-            return post.postprocess_batch_fast_fn(cfg.model, fm)
+            # bf16 prep views are lossless only for raw model outputs —
+            # TTA-averaged maps are not bf16-exact (ops/pallas_post_packed)
+            return post.postprocess_batch_fast_fn(cfg.model, fm,
+                                                  exact_bf16=not flip_tta)
 
         self._run = _run
 

@@ -20,10 +20,20 @@ those serial stages processes G images per instruction:
   multiply with the broadcast keep column plus a sublane-segment sum —
   no per-(image, class) matvecs, and the wave count is the max over the
   packed images instead of per-image.
-* **Limb maps stream from HBM.** The σ(e) window tensor is ~10 MB per
+* **Limb maps stream from HBM.** The limb window tensor is ~10 MB per
   packed block, too big for VMEM next to the NMS masks; it stays in HBM
-  (memory_space=ANY) and the window loop double-buffers one
-  (128, Npad) slice per offset via async DMA.
+  (memory_space=ANY) as RAW logits (σ is computed in-kernel after each
+  DMA — VPU work hidden under the next offset's copy) and the window
+  loop double-buffers one (128, Npad) slice per offset via async DMA.
+* **bf16 prep views.** The head computes in bfloat16 and upcasts to
+  float32 (nn/model.py), so model-produced feature maps are bf16-exact:
+  with ``exact_bf16=True`` all three XLA-prearranged views are built in
+  bf16 — the big e-view transpose (the dominant prep cost at B=128)
+  moves half the HBM bytes, losslessly. The in-kernel f32 upcast then
+  reproduces σ(f32(x)) bitwise vs the XLA oracle (decode._sigmoid also
+  upcasts before σ). Callers must only set the flag for feature maps
+  whose values are bf16-representable (model outputs — NOT TTA-averaged
+  maps).
 
 Semantics are bit-compatible with ops/postprocess.py (same decisions: NMS
 keeps, window-argmax winners, seed order, walk, min-keypoint filter);
@@ -103,10 +113,11 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         """Per grid step (G images):
         colq_hbm: (nb, N, 6·128) f32 HBM — box logits, cells on sublanes,
                   lanes c·G+g per 128-lane quantity block [resp|conf|x|y|w|h]
-        rowq_hbm: (nb, 6·128, Npad) f32 HBM — same logits transposed: rows
+        rowq_hbm: (nb, 6·128, Npad) HBM — same logits transposed: rows
                   c·G+g per 128-row quantity block, cells on lanes
-        e_hbm:    (nb, NW, 128, Npad) f32 HBM — σ(limb logits), rows
-                  l·G+g, DMA'd per window offset
+        e_hbm:    (nb, NW, 128, Npad) HBM — RAW limb logits, rows
+                  l·G+g, DMA'd per window offset; σ applied in-kernel
+                  (dtypes f32, or bf16 under exact_bf16)
         outputs:  (G, P, 128) f32 each
         scratch:  m_scr (N, N, 128) bf16 suppression masks; colq_s/rowq_s
                   single-buffered input stages (manual DMA — the automatic
@@ -129,7 +140,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         cp_col.wait()
 
         def colq(q):
-            return colq_s[:, q * 128:(q + 1) * 128]
+            return colq_s[:, q * 128:(q + 1) * 128].astype(jnp.float32)
 
         resp = _sigmoid(colq(0))
         conf = _sigmoid(colq(1))
@@ -228,7 +239,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         cp_row.wait()
 
         def rowq(q):
-            return rowq_s[q * 128:(q + 1) * 128, :]
+            return rowq_s[q * 128:(q + 1) * 128, :].astype(jnp.float32)
 
         row_i = jax.lax.broadcasted_iota(jnp.int32, (128, Npad), 0)
         resp_r = _sigmoid(rowq(0))
@@ -280,7 +291,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
             if j + 1 < NW:
                 dma(j + 1).start()
             dma(j).wait()
-            ej = e_buf[j % 2][:, :N]                       # (128, N) σ(e)
+            ej = _sigmoid(e_buf[j % 2][:, :N].astype(jnp.float32))
             s = shifts[j]
             dy, dx = j // Wl - chw, j % Wl - cww
             okj = ((yy_row + dy >= 0) & (yy_row + dy <= H - 1)
@@ -377,11 +388,20 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
     return kernel
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4),
+         static_argnames=("interpret", "skip", "exact_bf16"))
 def postprocess_batch_packed(cfg: PPNConfig, feature_map,
                              interpret: bool = False,
-                             skip: frozenset = frozenset()) -> People:
-    """(B, H', W', C) feature map → batched People, G images per grid step."""
+                             skip: frozenset = frozenset(),
+                             exact_bf16: bool = False) -> People:
+    """(B, H', W', C) feature map → batched People, G images per grid step.
+
+    exact_bf16: build the prep views (incl. the dominant e-view transpose)
+    in bfloat16 — lossless iff the feature map values are bf16-exact, which
+    holds for anything the model produced (the head computes in bf16 and
+    upcasts). Never set it for TTA-averaged or otherwise post-processed
+    feature maps.
+    """
     H, W = cfg.outsize
     K1 = cfg.num_classes
     L = cfg.num_limbs
@@ -394,7 +414,8 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     nb = Bp // G
     Npad = -(-N // 128) * 128
 
-    fm = feature_map.astype(jnp.float32)
+    in_dt = jnp.bfloat16 if exact_bf16 else jnp.float32
+    fm = feature_map.astype(in_dt)
     if Bp != B:
         fm = jnp.pad(fm, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
 
@@ -408,9 +429,12 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     rowq = jnp.pad(rowq, ((0, 0), (0, 0), (0, 128 - K1 * G),
                           (0, Npad - N)))
     rowq = rowq.reshape(nb, 6 * 128, Npad)
-    # σ(e) window tensor, rows l·G+g — stays in HBM, DMA'd per offset.
-    # σ computed here (XLA) = bitwise the act.e the XLA parse path uses.
-    e = _sigmoid(fm[..., 6 * K1:]).reshape(nb, G, N, L, NW)
+    # Limb window tensor, RAW logits, rows l·G+g — stays in HBM, DMA'd per
+    # offset; σ runs in-kernel on the f32 upcast, bitwise the act.e the XLA
+    # parse path uses (decode._sigmoid also upcasts before σ). Padding rows
+    # carry 0-logits → σ→0.5 in-kernel, harmless: they only ever multiply
+    # the all-zero d_all padding rows.
+    e = fm[..., 6 * K1:].reshape(nb, G, N, L, NW)
     e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
     e = jnp.pad(e, ((0, 0), (0, 0), (0, 128 - L * G), (0, Npad - N)))
 
@@ -446,9 +470,9 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
         scratch_shapes=[
             pltpu.VMEM((N, N, 128), jnp.bfloat16),
             pltpu.VMEM((N, 128), jnp.bfloat16),
-            pltpu.VMEM((N, 6 * 128), jnp.float32),
-            pltpu.VMEM((6 * 128, Npad), jnp.float32),
-            pltpu.VMEM((2, 128, Npad), jnp.float32),
+            pltpu.VMEM((N, 6 * 128), in_dt),
+            pltpu.VMEM((6 * 128, Npad), in_dt),
+            pltpu.VMEM((2, 128, Npad), in_dt),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         # the mask block + its build transients need more than the 16 MB

@@ -38,7 +38,8 @@ postprocess_single = partial(jax.jit, static_argnums=0)(postprocess_single_fn)
 postprocess_batch = partial(jax.jit, static_argnums=0)(postprocess_batch_fn)
 
 
-def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map) -> People:
+def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map,
+                              exact_bf16: bool = False) -> People:
     """Fastest batched postprocess for the current backend (composable).
 
     On TPU this is a fused Pallas kernel — decode, exact greedy NMS and
@@ -47,6 +48,11 @@ def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map) -> People:
     variants: the batch-packed kernel (ops/pallas_post_packed.py, G
     images per grid step — amortizes the per-image serial chains) when
     the batch fills at least one group, else the per-image kernel.
+
+    exact_bf16: the packed kernel builds its prep views in bfloat16 —
+    lossless iff the feature-map values are bf16-exact, which holds for
+    raw model outputs (the head computes in bf16 and upcasts) but NOT
+    for TTA-averaged maps. Only affects the packed-kernel path.
     """
     if jax.default_backend() == "tpu":
         from ppn_tpu.ops.pallas_post import postprocess_batch_pallas
@@ -54,10 +60,12 @@ def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map) -> People:
             group_size, postprocess_batch_packed)
 
         if feature_map.shape[0] >= group_size(cfg):
-            return postprocess_batch_packed(cfg, feature_map)
+            return postprocess_batch_packed(cfg, feature_map,
+                                            exact_bf16=exact_bf16)
         return postprocess_batch_pallas(cfg, feature_map)
     return postprocess_batch_fn(cfg, feature_map)
 
 
-postprocess_batch_fast = partial(jax.jit, static_argnums=0)(
+postprocess_batch_fast = partial(
+    jax.jit, static_argnums=0, static_argnames=("exact_bf16",))(
     postprocess_batch_fast_fn)

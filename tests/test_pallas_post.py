@@ -80,6 +80,36 @@ def test_packed_kernel_matches_xla(cname):
                     a, b, err_msg=f"{cname} seed {seed} B {B} field {name}")
 
 
+def test_packed_kernel_exact_bf16_path():
+    """exact_bf16=True (bf16 prep views, in-kernel σ on the f32 upcast)
+    is bitwise the XLA pipeline when the feature-map values are
+    bf16-exact — the serving contract (model heads compute in bf16 and
+    upcast, nn/model.py)."""
+    import jax.numpy as jnp
+
+    from ppn_tpu.ops.pallas_post_packed import postprocess_batch_packed
+
+    cfg = get_config("mpii_r18_384").model
+    rng = np.random.default_rng(3)
+    fm = rng.normal(0, 2, (9, *cfg.outsize, cfg.num_channels)).astype(
+        np.float32)
+    # make the values bf16-exact, as every model-produced map is
+    fm = np.asarray(jnp.asarray(fm, jnp.bfloat16).astype(jnp.float32))
+    want = jax.device_get(post.postprocess_batch(cfg, fm))
+    got = jax.device_get(
+        postprocess_batch_packed(cfg, fm, True, exact_bf16=True))
+    for name in want._fields:
+        a = np.asarray(getattr(got, name))
+        b = np.asarray(getattr(want, name))
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-4,
+                err_msg=f"bf16-exact path field {name}")
+        else:
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"bf16-exact path field {name}")
+
+
 def test_packed_kernel_on_oracle_scene():
     from ppn_tpu.data.synthetic import random_people
     from ppn_tpu.ops import encode as enc

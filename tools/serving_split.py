@@ -59,12 +59,14 @@ def main(argv=None):
 
     @jax.jit
     def pp(fm):
-        return _scalarize(post.postprocess_batch_fast_fn(cfg.model, fm))
+        return _scalarize(post.postprocess_batch_fast_fn(
+            cfg.model, fm, exact_bf16=True))
 
     @jax.jit
     def full(params, rest, images):
         return _scalarize(post.postprocess_batch_fast_fn(
-            cfg.model, nnx.merge(graphdef, params, rest)(images)))
+            cfg.model, nnx.merge(graphdef, params, rest)(images),
+            exact_bf16=True))
 
     img = jax.device_put(np.random.default_rng(0).random(
         (args.batch, *cfg.model.insize, 3), np.float32))
@@ -83,11 +85,13 @@ def main(argv=None):
             jnp.float32).sum()
 
     def pp_body(fmx):
-        return _scalarize(post.postprocess_batch_fast_fn(cfg.model, fmx))
+        return _scalarize(post.postprocess_batch_fast_fn(
+            cfg.model, fmx, exact_bf16=True))
 
     def full_body(params, rest, images):
         return _scalarize(post.postprocess_batch_fast_fn(
-            cfg.model, nnx.merge(graphdef, params, rest)(images)))
+            cfg.model, nnx.merge(graphdef, params, rest)(images),
+            exact_bf16=True))
 
     d_fwd = device_latency_ms(fwd_body, params, rest, img, iters=8)
     d_pp = device_latency_ms(pp_body, fm, iters=16)

@@ -27,11 +27,18 @@ from ppn_tpu.data.synthetic import random_people  # noqa: E402
 from ppn_tpu.ops import encode as enc  # noqa: E402
 from ppn_tpu.ops import postprocess as post  # noqa: E402
 from ppn_tpu.ops.pallas_post import postprocess_batch_pallas  # noqa: E402
+from ppn_tpu.ops.pallas_post_packed import (  # noqa: E402
+    postprocess_batch_packed)
 
 
-def compare(cfg, fm, interpret: bool) -> dict:
+def compare(cfg, fm, interpret: bool, packed: bool = False,
+            exact_bf16: bool = False) -> dict:
     want = jax.device_get(post.postprocess_batch(cfg, fm))
-    got = jax.device_get(postprocess_batch_pallas(cfg, fm, interpret))
+    if packed:
+        got = jax.device_get(postprocess_batch_packed(
+            cfg, fm, interpret, exact_bf16=exact_bf16))
+    else:
+        got = jax.device_get(postprocess_batch_pallas(cfg, fm, interpret))
     out = {}
     ok = True
     for name in want._fields:
@@ -75,6 +82,20 @@ def main():
         fm = jax.device_put(fm)
         results["cases"][f"{cname}/random"] = compare(cfg, fm, interpret)
         print(f"{cname}/random: ok={results['cases'][f'{cname}/random']['ok']}")
+
+        # batch-packed kernel (G images per grid step), f32 and bf16-exact
+        # prep views (the serving path; lossless for model-produced maps)
+        fmb = rng.normal(0, 2, (16, *cfg.outsize, cfg.num_channels)).astype(
+            np.float32)
+        fmb_exact = np.asarray(
+            jax.numpy.asarray(fmb, jax.numpy.bfloat16).astype(
+                jax.numpy.float32))
+        for tag, arr, bf in ((f"{cname}/packed", fmb, False),
+                             (f"{cname}/packed_bf16", fmb_exact, True)):
+            results["cases"][tag] = compare(
+                cfg, jax.device_put(arr), interpret, packed=True,
+                exact_bf16=bf)
+            print(f"{tag}: ok={results['cases'][tag]['ok']}")
 
     # oracle-perfect scene: GT-derived feature map must reparse identically
     cfg = get_config("mpii_r18_384").model
