@@ -1,0 +1,164 @@
+"""Stage attribution for the jitted train step (BASELINE config #3).
+
+Times device-honest (chained-slope, tunnel-free) variants so train-step
+regressions/levers can be pinned to a stage:
+
+    full          — augment + encode + fwd/bwd + optimizer/EMA (the real step)
+    no_augment    — augment skipped (host-prepared batch trains directly)
+    encode_only   — target-grid encode alone
+    augment_only  — the fused augmentation (warp + color + flip) alone
+    fwdbwd_only   — loss fwd + bwd + grad_norm on precomputed targets
+                    (no augment/encode/optimizer/EMA)
+    fwd_only      — loss forward alone (no grad)
+
+    python tools/train_split.py [--batch 32] [--config mpii_r18_384]
+
+The gap full − (augment_only + encode_only + fwdbwd_only) ≈ optimizer +
+EMA + bookkeeping. Ref: SURVEY.md §3.1 hot loop; VERDICT r2 next #2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from ppn_tpu.configs import get_config
+    from ppn_tpu.data.synthetic import SyntheticPoseDataset
+    from ppn_tpu.data.pipeline import collate
+    from ppn_tpu.ops import encode as enc
+    from ppn_tpu.train import steps as st
+    from ppn_tpu.train.loss import ppn_loss
+    from ppn_tpu.utils.profiling import device_latency_ms
+
+    cfg = get_config(args.config)
+    if args.batch != cfg.train.batch_size:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           batch_size=args.batch))
+    m = cfg.model
+
+    ds = SyntheticPoseDataset(cfg, size=args.batch, seed=0, cache=True)
+    batch = collate([ds[i] for i in range(args.batch)])
+    batch = {k: jax.device_put(v) for k, v in batch.items()
+             if k in ("image", "keypoints", "visible", "bboxes", "valid")}
+
+    graphdef, tstate, tx = st.create_train_state(cfg)
+
+    full_step = st.make_train_step(cfg, graphdef, tx, augment=True)
+    plain_step = st.make_train_step(cfg, graphdef, tx, augment=False)
+
+    # ---- full / no_augment: real steps (donated state excluded from the
+    # chained probe — time them as repeated dispatches on a fresh state) ----
+    def timed_step(step):
+        # the step donates its state argument — give each probe its own copy
+        s = jax.tree.map(jnp.copy, tstate)
+        s, terms = step(s, batch)      # compile + warmup
+        float(jax.device_get(terms["loss_total"]))  # tunnel-safe sync
+        import time
+        n = args.iters
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, terms = step(s, batch)
+        # block_until_ready on the remote-TPU tunnel can return before the
+        # chain drains; a scalar fetch is the reliable sync (CLAUDE.md).
+        float(jax.device_get(terms["loss_total"]))
+        return (time.perf_counter() - t0) / n * 1e3
+
+    t_full = timed_step(full_step)
+    t_noaug = timed_step(plain_step)
+
+    # ---- pieces, chained-slope (stateless bodies) ------------------------
+    from ppn_tpu.ops.augment import augment_batch
+    rng = jax.random.PRNGKey(0)
+
+    def augment_body(kp, vis, bb, val, img):
+        out = augment_batch(m, cfg.data, rng, {
+            "image": img, "keypoints": kp, "visible": vis,
+            "bboxes": bb, "valid": val})
+        return out["image"]
+
+    d_aug = device_latency_ms(
+        augment_body, batch["keypoints"], batch["visible"],
+        batch["bboxes"], batch["valid"], batch["image"], iters=args.iters)
+
+    def encode_body(kp, vis, bb, val):
+        t = enc.encode_batch(m, kp, vis, bb, val)
+        return t.delta
+
+    d_enc = device_latency_ms(
+        encode_body, batch["keypoints"], batch["visible"], batch["bboxes"],
+        jnp.asarray(batch["valid"]), iters=args.iters)
+
+    targets = jax.jit(enc.encode_batch, static_argnums=0)(
+        m, batch["keypoints"], batch["visible"], batch["bboxes"],
+        batch["valid"])
+    jax.block_until_ready(targets.delta)
+
+    params = jax.tree.map(jnp.copy, tstate.params)
+    rest = jax.tree.map(jnp.copy, tstate.rest)
+
+    def fwd_body(p, img):
+        model = nnx.merge(graphdef, p, jax.tree.map(lambda x: x, rest))
+        fm = model(img)
+        total, _ = ppn_loss(m, fm, targets)
+        return total
+
+    def fwdbwd_body(p, img):
+        def loss_fn(pp):
+            model = nnx.merge(graphdef, pp, jax.tree.map(lambda x: x, rest))
+            fm = model(img)
+            total, _ = ppn_loss(m, fm, targets)
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(p)
+        import optax
+        return total + optax.global_norm(grads)
+
+    d_fwd = device_latency_ms(fwd_body, params, batch["image"],
+                              iters=args.iters)
+    d_fwdbwd = device_latency_ms(fwdbwd_body, params, batch["image"],
+                                 iters=max(4, args.iters // 2))
+
+    out = {
+        "config": cfg.name, "batch": args.batch,
+        "backend": jax.default_backend(),
+        "full_step_ms": round(t_full, 3),
+        "full_step_images_per_sec": round(args.batch / t_full * 1e3, 1),
+        "no_augment_step_ms": round(t_noaug, 3),
+        "device_ms": {
+            "augment_only": round(d_aug, 3),
+            "encode_only": round(d_enc, 3),
+            "fwd_only": round(d_fwd, 3),
+            "fwdbwd_only": round(d_fwdbwd, 3),
+        },
+        "residual_ms_optimizer_ema_bookkeeping": round(
+            t_full - d_aug - d_enc - d_fwdbwd, 3),
+        "note": "full/no_augment are per-dispatch host timings (include "
+                "~1-2 ms tunnel floor on this rig); device_ms rows are "
+                "chained-slope device-only",
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
