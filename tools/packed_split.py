@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--interpret", action="store_true",
                    help="Pallas interpret mode (auto-enabled off-TPU)")
+    p.add_argument("--bf16", action="store_true",
+                   help="exact_bf16 prep views (the serving path)")
     args = p.parse_args(argv)
 
     import jax
@@ -78,7 +80,8 @@ def main(argv=None):
                      ("no_walk", frozenset({"walk"})),
                      ("decode_only", frozenset({"nms", "window", "walk"}))):
         fn = jax.jit(lambda x, sk=sk: scalarize(
-            postprocess_batch_packed(cfg, x, interpret, sk)))
+            postprocess_batch_packed(cfg, x, interpret, sk,
+                                     exact_bf16=args.bf16)))
         results[name] = round(timed(fn) * 1e3, 3)
         print(f"{name}: {results[name]} ms @B={args.batch}", flush=True)
 
