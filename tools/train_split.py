@@ -138,6 +138,26 @@ def main(argv=None):
     d_fwdbwd = device_latency_ms(fwdbwd_body, params, batch["image"],
                                  iters=max(4, args.iters // 2))
 
+    # ---- optimizer + EMA alone: fixed grads, chained via one grad leaf ---
+    import optax
+    grads = jax.jit(jax.grad(
+        lambda p: fwd_body(p, batch["image"])))(params)
+    jax.block_until_ready(jax.tree.leaves(grads)[0])
+    opt_state = tx.init(params)
+    gleaves, gtreedef = jax.tree.flatten(grads)
+
+    def opt_body(leaf0):
+        g = jax.tree.unflatten(gtreedef, [leaf0] + gleaves[1:])
+        updates, _ = tx.update(g, opt_state, params)
+        newp = optax.apply_updates(params, updates)
+        d = cfg.train.ema_decay
+        if d > 0:
+            newp = jax.tree.map(lambda e, q: e * d + q * (1.0 - d),
+                                params, newp)
+        return jax.tree.leaves(newp)[0]
+
+    d_opt = device_latency_ms(opt_body, gleaves[0], iters=args.iters)
+
     out = {
         "config": cfg.name, "batch": args.batch,
         "backend": jax.default_backend(),
@@ -149,6 +169,7 @@ def main(argv=None):
             "encode_only": round(d_enc, 3),
             "fwd_only": round(d_fwd, 3),
             "fwdbwd_only": round(d_fwdbwd, 3),
+            "opt_ema_only": round(d_opt, 3),
         },
         "residual_ms_optimizer_ema_bookkeeping": round(
             t_full - d_aug - d_enc - d_fwdbwd, 3),
