@@ -434,26 +434,14 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     # parse path uses (decode._sigmoid also upcasts before σ). Padding rows
     # carry 0-logits → σ→0.5 in-kernel, harmless: they only ever multiply
     # the all-zero d_all padding rows.
-    if exact_bf16:
-        # MXU lane-transpose instead of the XLA lane-crossing relayout
-        # (the dominant prep cost at B=128): out[b,c,m] = Σ_n e[b,n,c]·I[n,m]
-        # — every product is a one-hot bf16×bf16 (exact in the f32
-        # accumulator), so this stays bitwise the transpose. The identity's
-        # extra Npad−N zero columns fold the lane padding in for free.
-        e_src = fm[..., 6 * K1:].reshape(Bp, N, L * NW)
-        ident = jnp.eye(N, Npad, dtype=in_dt)
-        e_t = jnp.einsum("bnc,nm->bcm", e_src, ident,
-                         preferred_element_type=jnp.float32).astype(in_dt)
-        e = e_t.reshape(nb, G, L, NW, Npad).transpose(0, 3, 2, 1, 4)
-        e = e.reshape(nb, NW, L * G, Npad)
-        e = jnp.pad(e, ((0, 0), (0, 0), (0, 128 - L * G), (0, 0)))
-    else:
-        # f32 path keeps the plain transpose: MXU f32 matmuls round ~1e-3,
-        # so the identity-matmul trick is only exact for bf16 inputs.
-        e = fm[..., 6 * K1:].reshape(nb, G, N, L, NW)
-        e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
-        e = jnp.pad(e, ((0, 0), (0, 0), (0, 128 - L * G),
-                        (0, Npad - N)))
+    # Plain XLA transpose. An MXU identity-einsum lane-transpose was built
+    # and A/B'd on hardware (bitwise-equal in bf16) but measured SLOWER
+    # (0.74 vs 0.52 ms standalone @B=128); with bf16 views the whole
+    # three-view prep is ~0.95 ms — the packed pipeline's remaining floor
+    # is the kernel's decode/DMA chain, not this relayout.
+    e = fm[..., 6 * K1:].reshape(nb, G, N, L, NW)
+    e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, 128 - L * G), (0, Npad - N)))
 
     kernel = _make_packed_kernel(cfg, G, skip)
     grid = (nb,)
