@@ -158,6 +158,35 @@ def main(argv=None):
 
     d_opt = device_latency_ms(opt_body, gleaves[0], iters=args.iters)
 
+    # ---- the WHOLE step as a chained stateless body: the device-honest
+    # config-3 number (the host-timed full_step rows above carry the
+    # tunnel's per-dispatch pytree-enqueue overhead) -----------------------
+    def full_body(kp, vis, bb, val, img):
+        out = augment_batch(m, cfg.data, rng, {
+            "image": img, "keypoints": kp, "visible": vis,
+            "bboxes": bb, "valid": val})
+        t = enc.encode_batch(m, out["keypoints"], out["visible"],
+                             out["bboxes"], out["valid"])
+
+        def loss_fn(pp):
+            model = nnx.merge(graphdef, pp, jax.tree.map(lambda x: x, rest))
+            fmap = model(out["image"])
+            total, _ = ppn_loss(m, fmap, t)
+            return total
+
+        total, g = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(g, opt_state, params)
+        newp = optax.apply_updates(params, updates)
+        d = cfg.train.ema_decay
+        if d > 0:
+            newp = jax.tree.map(lambda e, q: e * d + q * (1.0 - d),
+                                params, newp)
+        return total + optax.global_norm(g) + jax.tree.leaves(newp)[0].sum()
+
+    d_full = device_latency_ms(
+        full_body, batch["keypoints"], batch["visible"], batch["bboxes"],
+        batch["valid"], batch["image"], iters=max(4, args.iters // 2))
+
     out = {
         "config": cfg.name, "batch": args.batch,
         "backend": jax.default_backend(),
@@ -170,7 +199,10 @@ def main(argv=None):
             "fwd_only": round(d_fwd, 3),
             "fwdbwd_only": round(d_fwdbwd, 3),
             "opt_ema_only": round(d_opt, 3),
+            "full_body": round(d_full, 3),
         },
+        "device_images_per_sec": round(args.batch / d_full * 1e3, 1)
+        if d_full > 0 else None,
         "residual_ms_optimizer_ema_bookkeeping": round(
             t_full - d_aug - d_enc - d_fwdbwd, 3),
         "note": "full/no_augment are per-dispatch host timings (include "
