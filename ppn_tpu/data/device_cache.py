@@ -65,8 +65,13 @@ class DeviceCache:
                  mesh: Optional[jax.sharding.Mesh] = None,
                  data_axis: str = "data"):
         n = len(dataset)
-        host = collate([dataset[i] for i in range(n)],
-                       image_uint8=image_uint8)
+        if hasattr(dataset, "materialize_collated"):
+            # disk-memoized path (synthetic renders cost ~15 ms/sample of
+            # single-core host CPU; repeats load in seconds)
+            host = dataset.materialize_collated(image_uint8=image_uint8)
+        else:
+            host = collate([dataset[i] for i in range(n)],
+                           image_uint8=image_uint8)
         nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                      for v in host.values())
         if mesh is None:

@@ -16,6 +16,10 @@ import numpy as np
 
 from ppn_tpu.configs.base import Config, PPNConfig
 
+# Bump when random_people/render output changes for the same inputs — it
+# keys the on-disk render cache (SyntheticPoseDataset.materialize_collated).
+_RENDERER_VERSION = 1
+
 
 def random_people(
     rng: np.random.Generator,
@@ -221,3 +225,47 @@ class SyntheticPoseDataset:
             self._cache[idx] = cached
             return dict(cached)
         return sample
+
+    def materialize_collated(self, image_uint8: bool = True
+                             ) -> Dict[str, np.ndarray]:
+        """Full-dataset collate with disk memoization — the DeviceCache feed.
+
+        Rendering is ~15 ms/sample of single-core host CPU (a 16k-sample
+        training set costs ~20 minutes before the first step); any repeat
+        of the same (renderer version, geometry, size, seed, crowding)
+        combination mmap-loads from disk in seconds instead. Controlled by
+        ``PPN_SYNTH_CACHE``: unset → ``/tmp/ppn_synth_cache``; ``0`` →
+        disabled; any other value → that directory.
+        """
+        import hashlib
+        import os
+
+        from ppn_tpu.data.pipeline import collate
+
+        root = os.environ.get("PPN_SYNTH_CACHE", "/tmp/ppn_synth_cache")
+        if root == "0":
+            return collate([self[i] for i in range(self.size)],
+                           image_uint8=image_uint8)
+        key = hashlib.sha1(repr((
+            _RENDERER_VERSION, self.cfg.model, self.cfg.data.max_persons,
+            self.size, self.seed, self.num_persons, image_uint8,
+        )).encode()).hexdigest()[:16]
+        path = os.path.join(root, key)
+        if os.path.exists(os.path.join(path, "_complete")):
+            return {f[:-4]: np.load(os.path.join(path, f), mmap_mode="r")
+                    for f in sorted(os.listdir(path)) if f.endswith(".npy")}
+        host = collate([self[i] for i in range(self.size)],
+                       image_uint8=image_uint8)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for k, v in host.items():
+            np.save(os.path.join(tmp, f"{k}.npy"), v)
+        with open(os.path.join(tmp, "_complete"), "w") as f:
+            f.write(repr((self.size, self.seed)))
+        try:
+            os.rename(tmp, path)  # atomic publish; loser of a race cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return host

@@ -93,3 +93,53 @@ def test_annotation_dropout_still_occurs():
         tot += s["valid"].sum() * cfg.num_keypoints
     assert vis < tot, "expected some unannotated joints"
     assert vis > 0.6 * tot, "annotation rate collapsed"
+
+
+def test_materialize_collated_disk_memoization(tmp_path, monkeypatch):
+    """materialize_collated equals a plain full collate, publishes a disk
+    cache on first call, and serves identical data from it afterwards —
+    including to a fresh dataset object (a new process, in effect)."""
+    from ppn_tpu.data.pipeline import collate
+    from ppn_tpu.data.synthetic import SyntheticPoseDataset
+
+    monkeypatch.setenv("PPN_SYNTH_CACHE", str(tmp_path))
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=5, seed=3, num_persons=2)
+    want = collate([ds[i] for i in range(5)], image_uint8=True)
+
+    got = ds.materialize_collated(image_uint8=True)
+    for k, v in want.items():
+        np.testing.assert_array_equal(np.asarray(got[k]), v)
+    published = [p for p in tmp_path.iterdir() if p.is_dir()]
+    assert len(published) == 1 and (published[0] / "_complete").exists()
+
+    again = SyntheticPoseDataset(cfg, size=5, seed=3,
+                                 num_persons=2).materialize_collated()
+    for k, v in want.items():
+        np.testing.assert_array_equal(np.asarray(again[k]), v)
+    assert isinstance(again["image"], np.memmap)  # served from disk
+
+    # a different seed must NOT hit the same cache entry
+    other = SyntheticPoseDataset(cfg, size=5, seed=4,
+                                 num_persons=2).materialize_collated()
+    assert not np.array_equal(np.asarray(other["image"]),
+                              np.asarray(want["image"]))
+
+
+def test_device_cache_uses_disk_memoized_feed(tmp_path, monkeypatch):
+    """DeviceCache built twice over the same synthetic dataset renders only
+    once (second build mmap-loads) and yields identical batches."""
+    import jax
+
+    from ppn_tpu.data.device_cache import DeviceCache
+    from ppn_tpu.data.synthetic import SyntheticPoseDataset
+
+    monkeypatch.setenv("PPN_SYNTH_CACHE", str(tmp_path))
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=6, seed=5, num_persons=1)
+    a = DeviceCache(ds, image_uint8=True)
+    b = DeviceCache(SyntheticPoseDataset(cfg, size=6, seed=5,
+                                         num_persons=1), image_uint8=True)
+    for k in a.data:
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a.data[k])),
+                                      np.asarray(jax.device_get(b.data[k])))
