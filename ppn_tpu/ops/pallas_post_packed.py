@@ -80,13 +80,15 @@ def _neighbor_tables(cfg: PPNConfig):
         np.float32), shifts
 
 
-def group_size(cfg: PPNConfig) -> int:
-    """Images packed per grid step: fill the 128-lane tile with (c, g)."""
-    return max(1, 128 // cfg.num_classes)
+def group_size(cfg: PPNConfig, q: int = 128) -> int:
+    """Images packed per grid step: fill the q-lane quantity block with
+    (class, image) pairs. q must be a multiple of 128 (the lane tile);
+    wider blocks halve the serial grid-step count at the cost of VMEM."""
+    return max(1, q // max(cfg.num_classes, cfg.num_limbs))
 
 
 def _make_packed_kernel(cfg: PPNConfig, G: int,
-                        skip: frozenset = frozenset()):
+                        skip: frozenset = frozenset(), q: int = 128):
     # `skip` disables stages for performance attribution
     # (tools/packed_split.py): 'nms', 'window', 'walk'.
     H, W = cfg.outsize
@@ -100,7 +102,8 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
     det_t = cfg.detection_thresh
     nms_t = cfg.nms_thresh
     dst_of = [d for _, d in cfg.edges]
-    R = G * K1                      # real lanes/rows; padded to 128
+    Q = q                           # quantity-block width (lanes/rows)
+    R = G * K1                      # real lanes/rows; padded to Q
     Npad = -(-N // 128) * 128
     CH = 48 if N % 48 == 0 else (8 if N % 8 == 0 else N)  # pair-build chunk
     Hl, Wl = cfg.local_grid_size
@@ -133,14 +136,14 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         cp_col.start()
         cp_row.start()
 
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 1)
         real_lane = lane_r < R
 
         # ---------------- column decode (cells on sublanes) ----------------
         cp_col.wait()
 
-        def colq(q):
-            return colq_s[:, q * 128:(q + 1) * 128].astype(jnp.float32)
+        def colq(i):
+            return colq_s[:, i * Q:(i + 1) * Q].astype(jnp.float32)
 
         resp = _sigmoid(colq(0))
         conf = _sigmoid(colq(1))
@@ -155,7 +158,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         # zero the padding lanes so they never clear detection_thresh
         score = jnp.where(real_lane, resp * conf, 0.0)        # (N, 128)
 
-        n_iota = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 0)
+        n_iota = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 0)
         iy = (n_iota // W).astype(jnp.float32)
         ix = (n_iota % W).astype(jnp.float32)
         cxp = (ix + xo) * sx
@@ -178,10 +181,10 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         x0j, y0j, x1j, y1j = (x0[None], y0[None], x1[None], y1[None])
         areaj, scj = area[None], score[None]
         above_j = scj > det_t
-        jj = jax.lax.broadcasted_iota(jnp.int32, (CH, N, 128), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (CH, N, Q), 1)
 
-        def ichunk(q, i0):  # (CH, 128) slice -> (CH, 1, 128) broadcast form
-            return q[i0:i0 + CH].reshape(CH, 1, 128)
+        def ichunk(v, i0):  # (CH, Q) slice -> (CH, 1, Q) broadcast form
+            return v[i0:i0 + CH].reshape(CH, 1, Q)
 
         for i0 in ([] if "nms" in skip else range(0, N, CH)):
             iw = jnp.maximum(
@@ -194,7 +197,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
             union = jnp.maximum(ichunk(area, i0) + areaj - inter, 1e-9)
             overlap = inter / union > nms_t
             scl = ichunk(score, i0)
-            ii = jax.lax.broadcasted_iota(jnp.int32, (CH, N, 128), 0) + i0
+            ii = jax.lax.broadcasted_iota(jnp.int32, (CH, N, Q), 0) + i0
             earlier = (scj > scl) | ((scj == scl) & (jj < ii))
             m_scr[i0:i0 + CH] = jnp.where(overlap & earlier & above_j,
                                           1.0, 0.0).astype(jnp.bfloat16)
@@ -219,7 +222,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
             newk = jnp.where(suppressed_by(und), 0.0, und)
             return kept + newk, und - newk
 
-        kept0 = jnp.zeros((N, 128), jnp.float32)
+        kept0 = jnp.zeros((N, Q), jnp.float32)
         und0 = jnp.where(score > det_t, 1.0, 0.0)
         if "nms" in skip:
             kept = und0
@@ -238,10 +241,10 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         # ---------------- row decode ((c, g) on sublanes) ------------------
         cp_row.wait()
 
-        def rowq(q):
-            return rowq_s[q * 128:(q + 1) * 128, :].astype(jnp.float32)
+        def rowq(i):
+            return rowq_s[i * Q:(i + 1) * Q, :].astype(jnp.float32)
 
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (128, Npad), 0)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (Q, Npad), 0)
         resp_r = _sigmoid(rowq(0))
         conf_r = _sigmoid(rowq(1))
         xo_r = _sigmoid(rowq(2))
@@ -253,7 +256,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
             wo_r = jnp.exp(jnp.clip(rowq(4), -10.0, 4.0))
             ho_r = jnp.exp(jnp.clip(rowq(5), -10.0, 4.0))
         score_r = jnp.where(row_i < R, resp_r * conf_r, 0.0)  # (128, Npad)
-        nl = jax.lax.broadcasted_iota(jnp.int32, (128, Npad), 1)
+        nl = jax.lax.broadcasted_iota(jnp.int32, (Q, Npad), 1)
         iy_r = (nl // W).astype(jnp.float32)
         ix_r = (nl % W).astype(jnp.float32)
         cxp_r = (ix_r + xo_r) * sx
@@ -268,9 +271,9 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         # strict-max over window offsets j = first-max tie-break, matching
         # the XLA argmax exactly (ops/parse.py).
         d_parts = [skeptT[d * G:(d + 1) * G] for d in dst_of]
-        if 128 - L * G:
-            d_parts.append(jnp.zeros((128 - L * G, N), jnp.float32))
-        d_all = jnp.concatenate(d_parts, axis=0)           # (128, N)
+        if Q - L * G:
+            d_parts.append(jnp.zeros((Q - L * G, N), jnp.float32))
+        d_all = jnp.concatenate(d_parts, axis=0)           # (Q, N)
 
         def dma(j):
             return pltpu.make_async_copy(
@@ -282,9 +285,9 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         yy_row = n_row // W
         xx_row = n_row % W
 
-        bv = jnp.zeros((128, N), jnp.float32)
-        bdst = jnp.zeros((128, N), jnp.float32)
-        bdsc = jnp.zeros((128, N), jnp.float32)
+        bv = jnp.zeros((Q, N), jnp.float32)
+        bdst = jnp.zeros((Q, N), jnp.float32)
+        bdsc = jnp.zeros((Q, N), jnp.float32)
         if "window" not in skip:
             dma(0).start()
         for j in ([] if "window" in skip else range(NW)):
@@ -389,11 +392,12 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4),
-         static_argnames=("interpret", "skip", "exact_bf16"))
+         static_argnames=("interpret", "skip", "exact_bf16", "q"))
 def postprocess_batch_packed(cfg: PPNConfig, feature_map,
                              interpret: bool = False,
                              skip: frozenset = frozenset(),
-                             exact_bf16: bool = False) -> People:
+                             exact_bf16: bool = False,
+                             q: int = 128) -> People:
     """(B, H', W', C) feature map → batched People, G images per grid step.
 
     exact_bf16: build the prep views (incl. the dominant e-view transpose)
@@ -401,6 +405,10 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     holds for anything the model produced (the head computes in bf16 and
     upcasts). Never set it for TTA-averaged or otherwise post-processed
     feature maps.
+
+    q: quantity-block width in lanes (multiple of 128). Wider blocks pack
+    more images per grid step (G = ⌊q / max(K1, L)⌋), halving the serial
+    group count at the cost of VMEM; decisions are identical for any q.
     """
     H, W = cfg.outsize
     K1 = cfg.num_classes
@@ -408,7 +416,7 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     P = cfg.max_instances
     N = H * W
     NW = cfg.local_grid_size[0] * cfg.local_grid_size[1]
-    G = group_size(cfg)
+    G = group_size(cfg, q)
     B = feature_map.shape[0]
     Bp = -(-B // G) * G
     nb = Bp // G
@@ -420,15 +428,15 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
         fm = jnp.pad(fm, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
 
     logits = fm[..., :6 * K1].reshape(nb, G, N, 6, K1)
-    # column view: (nb, N, 6, K1, G) → lanes c·G+g, padded to 128/quantity
+    # column view: (nb, N, 6, K1, G) → lanes c·G+g, padded to q/quantity
     colq = jnp.transpose(logits, (0, 2, 3, 4, 1)).reshape(nb, N, 6, K1 * G)
-    colq = jnp.pad(colq, ((0, 0), (0, 0), (0, 0), (0, 128 - K1 * G)))
-    colq = colq.reshape(nb, N, 6 * 128)
-    # row view: (nb, 6, K1, G, N) → rows c·G+g, 128-row quantity blocks
+    colq = jnp.pad(colq, ((0, 0), (0, 0), (0, 0), (0, q - K1 * G)))
+    colq = colq.reshape(nb, N, 6 * q)
+    # row view: (nb, 6, K1, G, N) → rows c·G+g, q-row quantity blocks
     rowq = jnp.transpose(logits, (0, 3, 4, 1, 2)).reshape(nb, 6, K1 * G, N)
-    rowq = jnp.pad(rowq, ((0, 0), (0, 0), (0, 128 - K1 * G),
+    rowq = jnp.pad(rowq, ((0, 0), (0, 0), (0, q - K1 * G),
                           (0, Npad - N)))
-    rowq = rowq.reshape(nb, 6 * 128, Npad)
+    rowq = rowq.reshape(nb, 6 * q, Npad)
     # Limb window tensor, RAW logits, rows l·G+g — stays in HBM, DMA'd per
     # offset; σ runs in-kernel on the f32 upcast, bitwise the act.e the XLA
     # parse path uses (decode._sigmoid also upcasts before σ). Padding rows
@@ -441,9 +449,9 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     # is the kernel's decode/DMA chain, not this relayout.
     e = fm[..., 6 * K1:].reshape(nb, G, N, L, NW)
     e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
-    e = jnp.pad(e, ((0, 0), (0, 0), (0, 128 - L * G), (0, Npad - N)))
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, q - L * G), (0, Npad - N)))
 
-    kernel = _make_packed_kernel(cfg, G, skip)
+    kernel = _make_packed_kernel(cfg, G, skip, q)
     grid = (nb,)
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -473,17 +481,18 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
             for _ in range(4)
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, N, 128), jnp.bfloat16),
-            pltpu.VMEM((N, 128), jnp.bfloat16),
-            pltpu.VMEM((N, 6 * 128), in_dt),
-            pltpu.VMEM((6 * 128, Npad), in_dt),
-            pltpu.VMEM((2, 128, Npad), in_dt),
+            pltpu.VMEM((N, N, q), jnp.bfloat16),
+            pltpu.VMEM((N, q), jnp.bfloat16),
+            pltpu.VMEM((N, 6 * q), in_dt),
+            pltpu.VMEM((6 * q, Npad), in_dt),
+            pltpu.VMEM((2, q, Npad), in_dt),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         # the mask block + its build transients need more than the 16 MB
-        # default scoped-vmem allowance; v5e VMEM is large enough
+        # default scoped-vmem allowance (scales with the quantity width);
+        # v5e VMEM is large enough
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024 * max(1, q // 128)),
         interpret=interpret,
     )(colq, rowq, e)
 

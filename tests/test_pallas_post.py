@@ -126,3 +126,34 @@ def test_packed_kernel_on_oracle_scene():
     np.testing.assert_array_equal(np.asarray(ppl.valid),
                                   np.asarray(want.valid))
     assert np.asarray(ppl.valid).sum() >= 1
+
+
+def test_packed_kernel_wide_quantity_block():
+    """q=256 packs ~2x the images per grid step (G = ⌊q/max(K1,L)⌋) and
+    must make identical decisions; covers group-crossing and padded-tail
+    batches, plus the bf16 serving path."""
+    import jax.numpy as jnp
+
+    from ppn_tpu.ops.pallas_post_packed import (group_size,
+                                                postprocess_batch_packed)
+
+    cfg = get_config("mpii_r18_384").model
+    assert group_size(cfg, 256) > group_size(cfg, 128)
+    rng = np.random.default_rng(11)
+    B = group_size(cfg, 256) + 2  # crosses one full group + padded tail
+    fm = rng.normal(0, 2, (B, *cfg.outsize, cfg.num_channels)).astype(
+        np.float32)
+    fm = np.asarray(jnp.asarray(fm, jnp.bfloat16).astype(jnp.float32))
+    want = jax.device_get(post.postprocess_batch(cfg, fm))
+    for kw in ({}, {"exact_bf16": True}):
+        got = jax.device_get(
+            postprocess_batch_packed(cfg, fm, True, q=256, **kw))
+        for name in want._fields:
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(want, name))
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                           err_msg=f"q=256 {kw} {name}")
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"q=256 {kw} {name}")
