@@ -53,8 +53,16 @@ def make_video_pipeline(cfg, graphdef):
     return run
 
 
-def synthetic_frames(n: int, size=(720, 1280), seed: int = 0):
-    """Deterministic 720p frames with a moving stick figure."""
+def synthetic_frames(n: int, size=(720, 1280), seed: int = 0,
+                     pool: int = 16):
+    """Deterministic 720p frames with moving stick figures.
+
+    A small pool of unique frames is pre-rendered BEFORE streaming starts
+    and cycled: rendering costs ~50+ ms/frame of host CPU on this rig
+    while a camera delivers frames for free, so on-demand generation
+    would starve the capture thread and the benchmark would measure the
+    generator instead of the serving loop (BASELINE config #5 is the
+    latter)."""
     from ppn_tpu.data.synthetic import SyntheticPoseDataset
     import dataclasses
 
@@ -65,9 +73,11 @@ def synthetic_frames(n: int, size=(720, 1280), seed: int = 0):
         cfg, model=dataclasses.replace(cfg.model, insize=size,
                                        outsize=(size[0] // 32,
                                                 size[1] // 32)))
-    ds = SyntheticPoseDataset(cfg, size=n, seed=seed, num_persons=2)
+    uniq = min(n, pool)
+    ds = SyntheticPoseDataset(cfg, size=uniq, seed=seed, num_persons=2)
+    frames = [(ds[i]["image"] * 255).astype(np.uint8) for i in range(uniq)]
     for i in range(n):
-        yield (ds[i]["image"] * 255).astype(np.uint8)
+        yield frames[i % uniq]
 
 
 def jpeg_frames(dirpath: str, n: int, insize):

@@ -86,3 +86,15 @@ def test_video_main_on_jpeg_dir(tmp_path):
     # semantics): at least one decoded JPEG must flow through end-to-end
     assert summary["frames"] >= 1
     assert summary["p50_ms"] > 0
+
+
+def test_synthetic_frames_prerendered_pool():
+    """The synthetic source pre-renders a cycled pool (frame generation
+    must not be part of the measured streaming loop)."""
+    from ppn_tpu.apps.video import synthetic_frames
+
+    frames = list(synthetic_frames(5, size=(64, 64), pool=2))
+    assert len(frames) == 5
+    assert frames[0].shape == (64, 64, 3) and frames[0].dtype == np.uint8
+    np.testing.assert_array_equal(frames[0], frames[2])  # pool cycles
+    assert not np.array_equal(frames[0], frames[1])      # pool is diverse
