@@ -37,6 +37,8 @@ def main(argv=None):
                    help="Pallas interpret mode (auto-enabled off-TPU)")
     p.add_argument("--bf16", action="store_true",
                    help="exact_bf16 prep views (the serving path)")
+    p.add_argument("--q", type=int, default=128,
+                   help="quantity-block width (images/group = q/max(K1,L))")
     args = p.parse_args(argv)
 
     import jax
@@ -81,7 +83,7 @@ def main(argv=None):
                      ("decode_only", frozenset({"nms", "window", "walk"}))):
         fn = jax.jit(lambda x, sk=sk: scalarize(
             postprocess_batch_packed(cfg, x, interpret, sk,
-                                     exact_bf16=args.bf16)))
+                                     exact_bf16=args.bf16, q=args.q)))
         results[name] = round(timed(fn) * 1e3, 3)
         print(f"{name}: {results[name]} ms @B={args.batch}", flush=True)
 
