@@ -68,6 +68,8 @@ def make_datasets(cfg, args):
 
         n = args.overfit or args.train_size
         np_ = getattr(args, "num_persons", None)
+        if np_ == 0:       # 0 = random 1..max_persons crowding, the same
+            np_ = None     # convention as tools/oracle_ceiling.py
         train = SyntheticPoseDataset(cfg, size=n, seed=cfg.train.seed,
                                      cache=True, num_persons=np_)
         val = (train if args.overfit
