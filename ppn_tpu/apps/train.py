@@ -19,6 +19,10 @@ from ppn_tpu.configs import get_config
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train a Pose Proposal Network")
     p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ini", default=None, metavar="PATH",
+                   help="reference-style config.ini applied over --config "
+                        "(configs/ini_compat; same knob names as the "
+                        "reference scheme)")
     p.add_argument("--data", default="synthetic",
                    choices=["synthetic", "mpii", "coco"])
     p.add_argument("--data-root", default=None)
@@ -91,7 +95,12 @@ def make_datasets(cfg, args):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    cfg = get_config(args.config)
+    if args.ini:
+        from ppn_tpu.configs.ini_compat import load_ini
+
+        cfg = load_ini(args.ini, base=args.config)
+    else:
+        cfg = get_config(args.config)
 
     tr = cfg.train
     updates = {}

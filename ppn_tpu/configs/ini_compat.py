@@ -111,6 +111,18 @@ def load_ini(path: str, base: str = "mpii_r18_384",
             raise KeyError(f"ini_compat: unknown keys: {unknown}")
         print(f"ini_compat: ignored unknown keys: {unknown}")
 
+    if "insize" in model and "outsize" not in model:
+        # the reference's grid is the stride-32 backbone output; an INI
+        # that sets only insize implies the matching grid
+        sy, sx = cfg.model.stride
+        h, w = model["insize"]
+        if h % sy or w % sx:
+            raise ValueError(
+                f"ini_compat: insize {model['insize']} is not a multiple "
+                f"of the backbone stride {cfg.model.stride}; set outsize "
+                "explicitly")
+        model["outsize"] = (int(h // sy), int(w // sx))
+
     return dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, **model),

@@ -77,3 +77,22 @@ def test_strict_mode_raises_on_unknown_keys(tmp_path):
     # non-strict still loads (reported, not fatal)
     cfg = load_ini(str(ini))
     assert cfg.model.insize == (384, 384)
+
+
+def test_insize_only_derives_matching_grid(tmp_path):
+    """A reference INI that sets only insize implies the stride-32 grid
+    (the reference's outsize IS the backbone output); indivisible sizes
+    must be rejected, not silently mis-gridded."""
+    import pytest
+
+    from ppn_tpu.configs.ini_compat import load_ini
+
+    p = tmp_path / "c.ini"
+    p.write_text("[model_param]\ninsize = 224x224\n")
+    cfg = load_ini(str(p), base="tiny_test")
+    assert cfg.model.outsize == (7, 7)
+    assert all(isinstance(v, int) for v in cfg.model.outsize)
+
+    p.write_text("[model_param]\ninsize = 100x100\n")
+    with pytest.raises(ValueError):
+        load_ini(str(p), base="tiny_test")
