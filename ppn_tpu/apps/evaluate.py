@@ -13,12 +13,14 @@ import json
 import jax
 import numpy as np
 
-from ppn_tpu.configs import get_config
+from ppn_tpu.configs import resolve_config
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="PPN PCKh evaluation")
     p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ini", default=None, metavar="PATH",
+                   help="reference-style config.ini applied over --config")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--data", default="synthetic",
                    choices=["synthetic", "mpii", "coco"])
@@ -45,7 +47,7 @@ def main(argv=None):
                    help="generic dotted-path config override (repeatable)")
     args = p.parse_args(argv)
 
-    cfg = get_config(args.config)
+    cfg = resolve_config(args.config, args.ini)
     # shorthand flags first, generic --set last: --set is documented as
     # "applied after all other flags" (same precedence as apps/train.py)
     overrides = []

@@ -17,7 +17,7 @@ import json
 import jax
 import numpy as np
 
-from ppn_tpu.configs import get_config
+from ppn_tpu.configs import get_config, resolve_config
 
 
 def load_state(cfg, ckpt_dir=None):
@@ -92,6 +92,8 @@ def people_to_json(cfg, people) -> list:
 def main(argv=None):
     p = argparse.ArgumentParser(description="PPN single-image inference")
     p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ini", default=None, metavar="PATH",
+                   help="reference-style config.ini applied over --config")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--image", default=None)
     p.add_argument("--synthetic", type=int, default=None,
@@ -104,7 +106,7 @@ def main(argv=None):
     if (args.image is None) == (args.synthetic is None):
         p.error("exactly one of --image / --synthetic is required")
 
-    cfg = get_config(args.config)
+    cfg = resolve_config(args.config, args.ini)
     from ppn_tpu.ops import postprocess as post
     from ppn_tpu.train import steps as st
 

@@ -25,6 +25,8 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ini", default=None, metavar="PATH",
+                   help="reference-style config.ini applied over --config")
     p.add_argument("--ckpt-dir", default=None,
                    help="checkpoint to serve (default: fresh init)")
     p.add_argument("--flip-tta", action="store_true")
@@ -39,12 +41,12 @@ def main(argv=None):
 
     import numpy as np
 
-    from ppn_tpu.configs import get_config
+    from ppn_tpu.configs import resolve_config
     from ppn_tpu.data.synthetic import SyntheticPoseDataset
     from ppn_tpu.inference import Predictor
     from ppn_tpu.serving import PoseServer
 
-    cfg = get_config(args.config)
+    cfg = resolve_config(args.config, args.ini)
     if args.ckpt_dir:
         predictor = Predictor.from_checkpoint(cfg, args.ckpt_dir,
                                               flip_tta=args.flip_tta)

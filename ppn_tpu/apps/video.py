@@ -28,7 +28,7 @@ import time
 import jax
 import numpy as np
 
-from ppn_tpu.configs import get_config
+from ppn_tpu.configs import get_config, resolve_config
 from ppn_tpu.train import steps as st
 
 
@@ -146,6 +146,8 @@ def capture_frames(source: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description="PPN streaming video pose")
     p.add_argument("--config", default="mpii_r18_384")
+    p.add_argument("--ini", default=None, metavar="PATH",
+                   help="reference-style config.ini applied over --config")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--source", default="synthetic",
                    help="'synthetic', 'cam', or a video file path")
@@ -159,7 +161,7 @@ def main(argv=None):
                         "before fetching frame N's poses)")
     args = p.parse_args(argv)
 
-    cfg = get_config(args.config)
+    cfg = resolve_config(args.config, args.ini)
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.utils.draw import draw_people
 

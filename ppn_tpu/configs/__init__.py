@@ -17,7 +17,20 @@ from ppn_tpu.configs.base import (
     tiny_test,
 )
 
+
+def resolve_config(name: str, ini: str | None = None) -> Config:
+    """Registry config, optionally overlaid with a reference-style
+    config.ini (configs/ini_compat) — the shared `--config [--ini]`
+    resolution of every CLI app."""
+    if ini:
+        from ppn_tpu.configs.ini_compat import load_ini
+
+        return load_ini(ini, base=name)
+    return get_config(name)
+
+
 __all__ = [
+    "resolve_config",
     "COCO_EDGES",
     "COCO_FLIP_PAIRS",
     "COCO_KEYPOINT_NAMES",
