@@ -102,11 +102,19 @@ def main(argv=None):
     p.add_argument("--flip-tta", action="store_true",
                    help="horizontal-flip TTA: merge the mirrored "
                         "prediction in logit space (ops/tta.py)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VALUE",
+                   help="dotted-path config override, e.g. "
+                        "model.detection_thresh=0.05 (repeatable)")
     args = p.parse_args(argv)
     if (args.image is None) == (args.synthetic is None):
         p.error("exactly one of --image / --synthetic is required")
 
     cfg = resolve_config(args.config, args.ini)
+    if args.overrides:
+        from ppn_tpu.configs.overrides import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
     from ppn_tpu.ops import postprocess as post
     from ppn_tpu.train import steps as st
 

@@ -159,9 +159,16 @@ def main(argv=None):
     p.add_argument("--no-overlap", action="store_true",
                    help="disable double buffering (dispatch frame N+1 "
                         "before fetching frame N's poses)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="PATH=VALUE",
+                   help="dotted-path config override (repeatable)")
     args = p.parse_args(argv)
 
     cfg = resolve_config(args.config, args.ini)
+    if args.overrides:
+        from ppn_tpu.configs.overrides import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
     from ppn_tpu.apps.predict import load_state
     from ppn_tpu.utils.draw import draw_people
 
