@@ -8,6 +8,8 @@
 5. Streaming 720p video: on-device resize + continuous inference (p50).
 6. JPEG→poses: native C++ decode pool → device → poses (the BASELINE
    latency metric as literally defined).
+7. Micro-batched serving: N client threads → PoseServer batch buckets
+   (beyond-BASELINE; ppn_tpu/serving.py).
 
 Run:  python -m ppn_tpu.bench.suite [--configs 1,2,5] [--out results.json]
 Each record: {"config", "metric", "value", "unit", ...}.
@@ -327,6 +329,33 @@ def bench_jpeg_to_poses(n_frames: int = 96) -> Dict:
                     " path (device_ms there)"}
 
 
+def bench_serving(n: int = 512, threads: int = 16,
+                  max_batch: int = 32) -> Dict:
+    """Micro-batched serving (beyond-BASELINE config: ppn_tpu/serving.py).
+
+    N client threads submit single images; reports sustained img/s, per-
+    request latency and how well the batcher packs (batch histogram)."""
+    import contextlib
+    import io
+
+    from ppn_tpu.apps import serve
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = serve.main(["--config", "mpii_r18_384",
+                         "--selftest", str(n), "--threads", str(threads),
+                         "--max-batch", str(max_batch),
+                         "--window-ms", "3", "--json"])
+    rec = json.loads(
+        [ln for ln in buf.getvalue().splitlines() if ln.startswith("{")][-1])
+    return {"config": "7_serving_microbatch", "metric": "images_per_sec",
+            "value": rec["images_per_sec"], "unit": "images/sec",
+            "selftest_rc": rc, **{k: rec[k] for k in (
+                "p50_ms", "p90_ms", "batches_by_size", "mismatches",
+                "threads", "requests")},
+            "includes_tunnel_rtt": True}
+
+
 _BENCHES = {
     "1": bench_single_latency,
     "2": bench_batched_inference,
@@ -334,12 +363,13 @@ _BENCHES = {
     "4": bench_coco_pipeline,
     "5": bench_video_stream,
     "6": bench_jpeg_to_poses,
+    "7": bench_serving,
 }
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="PPN benchmark suite")
-    p.add_argument("--configs", default="1,2,3,4,5,6")
+    p.add_argument("--configs", default="1,2,3,4,5,6,7")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
