@@ -96,3 +96,15 @@ def test_insize_only_derives_matching_grid(tmp_path):
     p.write_text("[model_param]\ninsize = 100x100\n")
     with pytest.raises(ValueError):
         load_ini(str(p), base="tiny_test")
+
+
+def test_resolve_config_shared_cli_resolution(tmp_path):
+    """resolve_config (the every-CLI `--config [--ini]` path) returns the
+    registry config untouched without an INI and overlays one when given."""
+    from ppn_tpu.configs import get_config, resolve_config
+
+    assert resolve_config("tiny_test") == get_config("tiny_test")
+    p = tmp_path / "c.ini"
+    p.write_text("[train]\nlearning_rate = 0.125\n")
+    cfg = resolve_config("tiny_test", str(p))
+    assert cfg.train.learning_rate == 0.125
