@@ -139,6 +139,13 @@ class PoseServer:
             batch = self._drain()
             if batch is None:
                 return
+            # executor protocol: a client may have cancelled its Future
+            # while it sat in the queue — set_result would then raise and
+            # kill the dispatcher. Claim each future; drop cancelled ones.
+            batch = [(img, fut) for img, fut in batch
+                     if fut.set_running_or_notify_cancel()]
+            if not batch:
+                continue
             images = np.stack([img for img, _ in batch])
             n = images.shape[0]
             b = _bucket(n, self.max_batch)

@@ -111,3 +111,19 @@ def test_server_rejects_bad_shapes_and_closes(predictor):
         server.submit(np.zeros((*predictor.cfg.model.insize, 3), np.uint8))
     with pytest.raises(ValueError):
         PoseServer(predictor, max_batch=3)
+
+
+def test_server_survives_cancelled_futures(predictor):
+    """A Future cancelled while queued must not kill the dispatcher
+    (set_result on a cancelled Future raises); the server keeps serving."""
+    from ppn_tpu.serving import PoseServer
+
+    imgs = _images(predictor.cfg, 4, seed=3)
+    with PoseServer(predictor, max_batch=4,
+                    batch_window_ms=300.0) as server:
+        futs = [server.submit(im) for im in imgs[:3]]
+        futs[1].cancel()  # may or may not win the race with the dispatcher
+        for i in (0, 2):
+            assert futs[i].result(timeout=300) is not None
+        # the server is still alive and serving after the cancellation
+        assert server.predict(imgs[3], timeout=300) is not None
