@@ -1,0 +1,59 @@
+"""bench.py must degrade gracefully when the TPU backend is unreachable
+(VERDICT r3 weak #1 / directive #1): the driver runs it unattended at end
+of round, and an axon-relay outage must yield the ONE parseable JSON line
+with an error field and rc=0 — never a raw traceback with rc=1
+(BENCH_r03.json failure mode)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(env_overrides, timeout=120):
+    env = dict(os.environ)
+    env.update(env_overrides)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
+
+
+def test_bench_emits_error_json_when_backend_unavailable():
+    # JAX_PLATFORMS=axon with the axon plugin unregistered (no pool IPs)
+    # makes jax.devices() raise "unknown backend" in the probe subprocess
+    # — the same terminal condition as a dead relay, without the hang.
+    env = {
+        "JAX_PLATFORMS": "axon",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PPN_BENCH_PROBE_BUDGET_S": "4",
+    }
+    r = _run_bench(env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "inference_images_per_sec_chip"
+    assert rec["unit"] == "images/sec"
+    assert rec["value"] == 0.0
+    assert rec["vs_baseline"] == 0.0
+    assert rec["error"] == "tpu_unavailable"
+
+
+def test_wait_for_backend_respects_budget(monkeypatch):
+    # The polling loop must give up after PPN_BENCH_PROBE_BUDGET_S even if
+    # every probe hangs-then-fails, so the driver's artifact capture is
+    # never open-ended.
+    import time
+
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        monkeypatch.setenv("PPN_BENCH_PROBE_BUDGET_S", "2")
+        monkeypatch.setattr(bench, "_probe_backend", lambda timeout_s: False)
+        t0 = time.perf_counter()
+        assert bench._wait_for_backend() is False
+        assert time.perf_counter() - t0 < 30
+    finally:
+        sys.path.remove(REPO)
