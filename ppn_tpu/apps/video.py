@@ -116,15 +116,24 @@ def jpeg_frames(dirpath: str, n: int, insize):
             with open(p, "rb") as f:
                 loader.submit(submitted, f.read())
             submitted += 1
+        # Workers race (num_workers=4), so completions can return out of
+        # submission order; buffer by request id and emit next-expected so
+        # file streams keep temporal order (ADVICE r3).
+        pending = {}
+        next_rid = 0
         for _ in range(n):
-            _, img = loader.get()
+            rid, img = loader.get()
+            pending[rid] = img
             if submitted < n:
                 with open(paths[submitted], "rb") as f:
                     loader.submit(submitted, f.read())
                 submitted += 1
-            if img is None:
-                continue  # corrupt frame: skip, keep streaming
-            yield (img * 255.0 + 0.5).astype(np.uint8)
+            while next_rid in pending:
+                img = pending.pop(next_rid)
+                next_rid += 1
+                if img is None:
+                    continue  # corrupt frame: skip, keep streaming
+                yield (img * 255.0 + 0.5).astype(np.uint8)
     finally:
         loader.close()
 

@@ -84,9 +84,12 @@ class DeviceCache:
 
             ndev = mesh.shape[data_axis]
             pad = (-n) % ndev
-            if pad:  # shardings need equal per-device row counts
-                host = {k: np.concatenate([v, v[:pad]]) for k, v in
-                        host.items()}
+            if pad:  # shardings need equal per-device row counts; repeat
+                # rows cyclically so pad > n (dataset smaller than the
+                # mesh data axis) still yields n+pad rows (ADVICE r3).
+                reps = 1 + -(-pad // n)
+                host = {k: np.concatenate([v] * reps)[:n + pad]
+                        for k, v in host.items()}
             sharding = NamedSharding(mesh, P(data_axis))
             out_sharding = sharding
         self.data = {k: jax.device_put(v, sharding) for k, v in host.items()}

@@ -454,9 +454,9 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     kernel = _make_packed_kernel(cfg, G, skip, q)
     grid = (nb,)
     in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # pltpu.ANY is deprecated
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
     out_specs = [
         pl.BlockSpec((1, G, P, 128), lambda b: (b, 0, 0, 0),

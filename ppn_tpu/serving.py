@@ -61,6 +61,10 @@ class PoseServer:
         self._q: "queue.SimpleQueue[Optional[Tuple[np.ndarray, Future]]]" \
             = queue.SimpleQueue()
         self._closed = False
+        # submit() and close() race on _closed: without mutual exclusion a
+        # request enqueued concurrently with close() can land *after* the
+        # shutdown sentinel and its Future would never resolve (ADVICE r3).
+        self._close_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._batches_by_size: Dict[int, int] = {}
         self._images = 0
@@ -71,14 +75,15 @@ class PoseServer:
     # ---- client API --------------------------------------------------------
     def submit(self, image: np.ndarray) -> "Future[People]":
         """Enqueue one (H, W, 3) image at the config's insize."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         h, w = self._p.cfg.model.insize
         if image.shape != (h, w, 3):
             raise ValueError(f"expected ({h}, {w}, 3), got {image.shape}; "
                              "resize before submitting")
         fut: "Future[People]" = Future()
-        self._q.put((np.asarray(image), fut))
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._q.put((np.asarray(image), fut))
         return fut
 
     def predict(self, image: np.ndarray,
@@ -102,10 +107,22 @@ class PoseServer:
                     "batches_by_size": dict(self._batches_by_size)}
 
     def close(self) -> None:
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             self._q.put(None)
-            self._thread.join()
+        self._thread.join()
+        # Defensive drain: the lock makes a post-sentinel enqueue
+        # impossible, but if anything is ever left behind, fail its
+        # Future loudly instead of letting a timeout-less .result() hang.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and item[1].set_running_or_notify_cancel():
+                item[1].set_exception(RuntimeError("server closed"))
 
     def __enter__(self) -> "PoseServer":
         return self

@@ -135,3 +135,23 @@ def test_small_dataset_samples_with_replacement():
     for _ in range(3):
         b = next(it)
         assert b["image"].shape[0] == 8
+
+
+def test_sharded_cache_smaller_than_mesh_axis():
+    """Regression (ADVICE r3): a dataset with fewer rows than the mesh
+    data axis must pad cyclically to a multiple of ndev, not fail
+    device_put with a divisibility error."""
+    import jax
+
+    from ppn_tpu.parallel import make_mesh
+
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=3, seed=7)  # 3 < 8 devices
+    mesh = make_mesh((8,), ("data",), devices=jax.devices()[:8])
+    cache = DeviceCache(ds, image_uint8=True, mesh=mesh)
+    assert cache.size == 3
+    assert cache.data["image"].shape[0] == 8  # padded to one row/device
+    ref = collate([ds[i] for i in range(3)], image_uint8=True)
+    b = cache.batch(np.asarray([2, 0, 1, 2, 0, 1, 2, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(b["image"]), ref["image"][[2, 0, 1, 2, 0, 1, 2, 0]])
