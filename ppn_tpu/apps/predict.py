@@ -27,6 +27,13 @@ def load_state(cfg, ckpt_dir=None):
     from ppn_tpu.train import steps as st
     from ppn_tpu.train.checkpoint import Checkpointer
 
+    if ckpt_dir and ckpt_dir.endswith(".npz"):
+        # committed inference-weights snapshot (utils/params_io.py)
+        from ppn_tpu.utils.params_io import load_inference_npz
+
+        graphdef, state = load_inference_npz(cfg, ckpt_dir)
+        print(f"loaded inference snapshot {ckpt_dir}")
+        return graphdef, state
     if ckpt_dir:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
