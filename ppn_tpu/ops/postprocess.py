@@ -59,7 +59,15 @@ def postprocess_batch_fast_fn(cfg: PPNConfig, feature_map,
         from ppn_tpu.ops.pallas_post_packed import (
             group_size, postprocess_batch_packed)
 
-        if feature_map.shape[0] >= group_size(cfg):
+        B = feature_map.shape[0]
+        # Wide q=256 blocks pack 2× the images per grid step; measured
+        # ~0.45 ms faster @B=128 (NMS/window/walk all shrink — r4
+        # attribution, docs/ARCHITECTURE.md). Used whenever the batch
+        # fills a wide group; decisions are identical for any q (tested).
+        if B >= group_size(cfg, q=256):
+            return postprocess_batch_packed(cfg, feature_map,
+                                            exact_bf16=exact_bf16, q=256)
+        if B >= group_size(cfg):
             return postprocess_batch_packed(cfg, feature_map,
                                             exact_bf16=exact_bf16)
         return postprocess_batch_pallas(cfg, feature_map)
