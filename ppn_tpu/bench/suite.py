@@ -360,6 +360,9 @@ _BENCHES = {
     "1": bench_single_latency,
     "2": bench_batched_inference,
     "3": bench_train_step,
+    # training at the serving batch: fwd/bwd MFU rises with B just like
+    # inference did (VERDICT r3 next #3) — both batches are recorded
+    "3b": lambda: bench_train_step(batch=128),
     "4": bench_coco_pipeline,
     "5": bench_video_stream,
     "6": bench_jpeg_to_poses,
@@ -369,7 +372,7 @@ _BENCHES = {
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="PPN benchmark suite")
-    p.add_argument("--configs", default="1,2,3,4,5,6,7")
+    p.add_argument("--configs", default="1,2,3,3b,4,5,6,7")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 

@@ -88,9 +88,15 @@ def group_size(cfg: PPNConfig, q: int = 128) -> int:
 
 
 def _make_packed_kernel(cfg: PPNConfig, G: int,
-                        skip: frozenset = frozenset(), q: int = 128):
+                        skip: frozenset = frozenset(), q: int = 128,
+                        derive_colq: bool = False):
     # `skip` disables stages for performance attribution
     # (tools/packed_split.py): 'nms', 'window', 'walk'.
+    # `derive_colq`: build the column view in-kernel as an MXU identity
+    # transpose of the row view instead of taking it as an input — exact
+    # for bf16 logits (each output sums a single 1.0·x product in f32),
+    # NOT for f32 (MXU f32 matmuls round ~1e-3), so only used under
+    # exact_bf16. Kills the XLA colq prep (+its per-block DMA).
     H, W = cfg.outsize
     K1 = cfg.num_classes
     L = cfg.num_limbs
@@ -116,6 +122,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         """Per grid step (G images):
         colq_hbm: (nb, N, 6·128) f32 HBM — box logits, cells on sublanes,
                   lanes c·G+g per 128-lane quantity block [resp|conf|x|y|w|h]
+                  (absent under derive_colq: transposed from rowq in-kernel)
         rowq_hbm: (nb, 6·128, Npad) HBM — same logits transposed: rows
                   c·G+g per 128-row quantity block, cells on lanes
         e_hbm:    (nb, NW, 128, Npad) HBM — RAW limb logits, rows
@@ -123,27 +130,67 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
                   (dtypes f32, or bf16 under exact_bf16)
         outputs:  (G, P, 128) f32 each
         scratch:  m_scr (N, N, 128) bf16 suppression masks; colq_s/rowq_s
-                  single-buffered input stages (manual DMA — the automatic
+                  (2, …) cross-block double-buffered input stages (manual
+                  DMA — block b+1's copies start as soon as block b's
+                  arrive, hiding the per-group input latency; the automatic
                   pipeline's double buffers alone overflow 16 MB VMEM);
                   e_buf (2, 128, Npad) f32 + sem: window double buffer
                   (the window-neighbor validity/index rows are computed
                   from iota per offset for the same VMEM reason)
         """
         b = pl.program_id(0)
+        nb_g = pl.num_programs(0)
+        slot = jax.lax.rem(b, 2)
+        nxt = 1 - slot
 
-        cp_col = pltpu.make_async_copy(colq_hbm.at[b], colq_s, sem.at[2])
-        cp_row = pltpu.make_async_copy(rowq_hbm.at[b], rowq_s, sem.at[3])
-        cp_col.start()
-        cp_row.start()
+        def cp_row(i, s):
+            return pltpu.make_async_copy(rowq_hbm.at[i], rowq_s.at[s],
+                                         sem.at[4 + s])
+
+        if not derive_colq:
+            def cp_col(i, s):
+                return pltpu.make_async_copy(colq_hbm.at[i], colq_s.at[s],
+                                             sem.at[2 + s])
+
+        @pl.when(b == 0)
+        def _():
+            cp_row(0, 0).start()
+            if not derive_colq:
+                cp_col(0, 0).start()
 
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 1)
         real_lane = lane_r < R
 
         # ---------------- column decode (cells on sublanes) ----------------
-        cp_col.wait()
+        if derive_colq:
+            # rowq is needed up front: the column view is its MXU identity
+            # transpose (exact: bf16 values, each output one 1.0·x product
+            # accumulated in f32 — same trick as keptT below).
+            cp_row(b, slot).wait()
 
-        def colq(i):
-            return colq_s[:, i * Q:(i + 1) * Q].astype(jnp.float32)
+            @pl.when(b + 1 < nb_g)
+            def _():
+                cp_row(b + 1, nxt).start()
+
+            iq = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 0)
+            jq = jax.lax.broadcasted_iota(jnp.int32, (Q, Q), 1)
+            eyeq = jnp.where(iq == jq, 1.0, 0.0).astype(jnp.bfloat16)
+
+            def colq(i):
+                blk = rowq_s[slot, i * Q:(i + 1) * Q, :]     # (Q, Npad) bf16
+                t = jax.lax.dot_general(
+                    blk, eyeq, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (Npad, Q)
+                return t[:N]
+        else:
+            cp_col(b, slot).wait()
+
+            @pl.when(b + 1 < nb_g)
+            def _():
+                cp_col(b + 1, nxt).start()
+
+            def colq(i):
+                return colq_s[slot, :, i * Q:(i + 1) * Q].astype(jnp.float32)
 
         resp = _sigmoid(colq(0))
         conf = _sigmoid(colq(1))
@@ -239,10 +286,15 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
             preferred_element_type=jnp.float32)            # (128, N) exact
 
         # ---------------- row decode ((c, g) on sublanes) ------------------
-        cp_row.wait()
+        if not derive_colq:
+            cp_row(b, slot).wait()
+
+            @pl.when(b + 1 < nb_g)
+            def _():
+                cp_row(b + 1, nxt).start()
 
         def rowq(i):
-            return rowq_s[i * Q:(i + 1) * Q, :].astype(jnp.float32)
+            return rowq_s[slot, i * Q:(i + 1) * Q, :].astype(jnp.float32)
 
         row_i = jax.lax.broadcasted_iota(jnp.int32, (Q, Npad), 0)
         resp_r = _sigmoid(rowq(0))
@@ -423,15 +475,23 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     Npad = -(-N // 128) * 128
 
     in_dt = jnp.bfloat16 if exact_bf16 else jnp.float32
+    # Under exact_bf16 the column view never leaves the chip: the kernel
+    # derives it from the row view with an exact MXU bf16 transpose
+    # (identity matmul), saving the colq XLA prep + per-block DMA.
+    derive_colq = exact_bf16
     fm = feature_map.astype(in_dt)
     if Bp != B:
         fm = jnp.pad(fm, ((0, Bp - B), (0, 0), (0, 0), (0, 0)))
 
     logits = fm[..., :6 * K1].reshape(nb, G, N, 6, K1)
-    # column view: (nb, N, 6, K1, G) → lanes c·G+g, padded to q/quantity
-    colq = jnp.transpose(logits, (0, 2, 3, 4, 1)).reshape(nb, N, 6, K1 * G)
-    colq = jnp.pad(colq, ((0, 0), (0, 0), (0, 0), (0, q - K1 * G)))
-    colq = colq.reshape(nb, N, 6 * q)
+    if derive_colq:
+        colq = None
+    else:
+        # column view: (nb, N, 6, K1, G) → lanes c·G+g, padded to q/quantity
+        colq = jnp.transpose(logits, (0, 2, 3, 4, 1)).reshape(
+            nb, N, 6, K1 * G)
+        colq = jnp.pad(colq, ((0, 0), (0, 0), (0, 0), (0, q - K1 * G)))
+        colq = colq.reshape(nb, N, 6 * q)
     # row view: (nb, 6, K1, G, N) → rows c·G+g, q-row quantity blocks
     rowq = jnp.transpose(logits, (0, 3, 4, 1, 2)).reshape(nb, 6, K1 * G, N)
     rowq = jnp.pad(rowq, ((0, 0), (0, 0), (0, q - K1 * G),
@@ -451,12 +511,12 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
     e = jnp.pad(e, ((0, 0), (0, 0), (0, q - L * G), (0, Npad - N)))
 
-    kernel = _make_packed_kernel(cfg, G, skip, q)
+    kernel = _make_packed_kernel(cfg, G, skip, q, derive_colq)
     grid = (nb,)
+    n_in = 2 if derive_colq else 3
     in_specs = [
-            pl.BlockSpec(memory_space=pl.ANY),  # pltpu.ANY is deprecated
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY)  # pltpu.ANY is deprecated
+            for _ in range(n_in)
         ]
     out_specs = [
         pl.BlockSpec((1, G, P, 128), lambda b: (b, 0, 0, 0),
@@ -464,12 +524,27 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
         for _ in range(4)
     ]
 
-    def kernel_4d(colq_hbm, rowq_hbm, e_hbm,
-                  bo, so, vo, co, m_scr, blk_scr, colq_s, rowq_s,
-                  e_buf, sem):
-        kernel(colq_hbm, rowq_hbm, e_hbm,
-               bo.at[0], so.at[0], vo.at[0], co.at[0],
-               m_scr, blk_scr, colq_s, rowq_s, e_buf, sem)
+    if derive_colq:
+        def kernel_4d(rowq_hbm, e_hbm,
+                      bo, so, vo, co, m_scr, blk_scr, rowq_s,
+                      e_buf, sem):
+            kernel(None, rowq_hbm, e_hbm,
+                   bo.at[0], so.at[0], vo.at[0], co.at[0],
+                   m_scr, blk_scr, None, rowq_s, e_buf, sem)
+
+        operands = (rowq, e)
+        stage_scratch = [pltpu.VMEM((2, 6 * q, Npad), in_dt)]
+    else:
+        def kernel_4d(colq_hbm, rowq_hbm, e_hbm,
+                      bo, so, vo, co, m_scr, blk_scr, colq_s, rowq_s,
+                      e_buf, sem):
+            kernel(colq_hbm, rowq_hbm, e_hbm,
+                   bo.at[0], so.at[0], vo.at[0], co.at[0],
+                   m_scr, blk_scr, colq_s, rowq_s, e_buf, sem)
+
+        operands = (colq, rowq, e)
+        stage_scratch = [pltpu.VMEM((2, N, 6 * q), in_dt),
+                         pltpu.VMEM((2, 6 * q, Npad), in_dt)]
 
     box, sc, val, cell = pl.pallas_call(
         kernel_4d,
@@ -483,10 +558,9 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
         scratch_shapes=[
             pltpu.VMEM((N, N, q), jnp.bfloat16),
             pltpu.VMEM((N, q), jnp.bfloat16),
-            pltpu.VMEM((N, 6 * q), in_dt),
-            pltpu.VMEM((6 * q, Npad), in_dt),
+            *stage_scratch,
             pltpu.VMEM((2, q, Npad), in_dt),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         # the mask block + its build transients need more than the 16 MB
         # default scoped-vmem allowance (scales with the quantity width);
@@ -494,7 +568,7 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024 * max(1, q // 128)),
         interpret=interpret,
-    )(colq, rowq, e)
+    )(*operands)
 
     box = box.reshape(Bp, P, 128)[:B, :, :K1 * 4]
     sc = sc.reshape(Bp, P, 128)[:B, :, :2 * K1]
