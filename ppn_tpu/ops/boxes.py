@@ -50,3 +50,31 @@ def pairwise_iou_cxcywh(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     (SURVEY.md §7.3: N per class is small, the dense matrix is cheap).
     """
     return iou_cxcywh(a[..., :, None, :], b[..., None, :, :])
+
+
+def pairwise_overlap_above_cxcywh(a: jnp.ndarray, b: jnp.ndarray,
+                                  thresh: float,
+                                  eps: float = 1e-9) -> jnp.ndarray:
+    """All-pairs "IoU > thresh" decision, divide-free.
+
+    ``inter > thresh·max(union, eps)`` is decision-equivalent to
+    ``inter/max(union, eps) > thresh`` in exact arithmetic (union ≥ 0)
+    and skips the divide — on the TPU VPU a divide is a multi-pass op,
+    and NMS evaluates this over the dense (N, N) mask per class. The
+    Pallas postprocess kernels use the same multiply form, keeping the
+    kernel↔oracle decision parity exact.
+    """
+    ax0 = a[..., :, None, 0] - a[..., :, None, 2] / 2
+    ay0 = a[..., :, None, 1] - a[..., :, None, 3] / 2
+    ax1 = a[..., :, None, 0] + a[..., :, None, 2] / 2
+    ay1 = a[..., :, None, 1] + a[..., :, None, 3] / 2
+    bx0 = b[..., None, :, 0] - b[..., None, :, 2] / 2
+    by0 = b[..., None, :, 1] - b[..., None, :, 3] / 2
+    bx1 = b[..., None, :, 0] + b[..., None, :, 2] / 2
+    by1 = b[..., None, :, 1] + b[..., None, :, 3] / 2
+
+    iw = jnp.maximum(jnp.minimum(ax1, bx1) - jnp.maximum(ax0, bx0), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay1, by1) - jnp.maximum(ay0, by0), 0.0)
+    inter = iw * ih
+    union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+    return inter > thresh * jnp.maximum(union, eps)

@@ -38,8 +38,8 @@ def _suppression_matrix(cfg: PPNConfig, props: Proposals):
     score = props.score.reshape(N, K1).T                       # (K1, N)
     boxes = props.boxes.reshape(N, K1, 4).transpose(1, 0, 2)   # (K1, N, 4)
 
-    iou = boxops.pairwise_iou_cxcywh(boxes, boxes)
-    overlap = iou > cfg.nms_thresh
+    overlap = boxops.pairwise_overlap_above_cxcywh(boxes, boxes,
+                                                   cfg.nms_thresh)
     idx = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)       # i
     jdx = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)       # j
     earlier = ((score[:, None, :] > score[:, :, None])
@@ -99,8 +99,8 @@ def nms_single_scan(cfg: PPNConfig, props: Proposals) -> NMSResult:
     s_sorted = jnp.take_along_axis(score, order, axis=-1)
     b_sorted = jnp.take_along_axis(boxes, order[..., None], axis=1)
 
-    iou = boxops.pairwise_iou_cxcywh(b_sorted, b_sorted)  # (K1, N, N)
-    overlap = iou > cfg.nms_thresh
+    overlap = boxops.pairwise_overlap_above_cxcywh(
+        b_sorted, b_sorted, cfg.nms_thresh)               # (K1, N, N)
     above = s_sorted > cfg.detection_thresh
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (K1, N), 1)

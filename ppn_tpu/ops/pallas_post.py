@@ -141,8 +141,10 @@ def _make_kernel(cfg: PPNConfig):
                 jnp.minimum(yc1, to_row(yc1)) - jnp.maximum(yc0, to_row(yc0)),
                 0.0)
             inter = iw * ih
+            # divide-free IoU>t decision (matches ops/boxes.py
+            # pairwise_overlap_above_cxcywh — VPU divides are multi-pass)
             union = jnp.maximum(ac + to_row(ac) - inter, 1e-9)
-            overlap = inter / union > nms_t
+            overlap = inter > nms_t * union
             earlier = (scT > sc) | ((scT == sc) & (idx_j < idx_i))
             above_j = (scT > det_t)
             Ms.append(

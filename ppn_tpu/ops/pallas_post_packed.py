@@ -241,8 +241,10 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
                 jnp.minimum(ichunk(y1, i0), y1j)
                 - jnp.maximum(ichunk(y0, i0), y0j), 0.0)
             inter = iw * ih
+            # divide-free IoU>t decision (matches ops/boxes.py
+            # pairwise_overlap_above_cxcywh — VPU divides are multi-pass)
             union = jnp.maximum(ichunk(area, i0) + areaj - inter, 1e-9)
-            overlap = inter / union > nms_t
+            overlap = inter > nms_t * union
             scl = ichunk(score, i0)
             ii = jax.lax.broadcasted_iota(jnp.int32, (CH, N, Q), 0) + i0
             earlier = (scj > scl) | ((scj == scl) & (jj < ii))

@@ -19,14 +19,17 @@ from ppn_tpu.ops import parse as parseops
 from ppn_tpu.ops import postprocess as post
 
 
-def _iou(a, b):
+def _overlaps(a, b, nms_t):
+    """The framework's divide-free "IoU > t" decision
+    (ops/boxes.py pairwise_overlap_above_cxcywh): inter > t·max(union, eps),
+    decision-equal to inter/union > t in exact arithmetic."""
     ax0, ay0, ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2, a[0] + a[2] / 2, a[1] + a[3] / 2
     bx0, by0, bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2, b[0] + b[2] / 2, b[1] + b[3] / 2
     iw = max(min(ax1, bx1) - max(ax0, bx0), 0.0)
     ih = max(min(ay1, by1) - max(ay0, by0), 0.0)
     inter = iw * ih
     union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
-    return inter / max(union, 1e-9)
+    return inter > nms_t * max(union, 1e-9)
 
 
 def oracle_nms(boxes, scores, det_t, nms_t):
@@ -37,7 +40,7 @@ def oracle_nms(boxes, scores, det_t, nms_t):
     for i in np.argsort(-scores, kind="stable"):
         if scores[i] <= det_t:
             continue
-        if any(_iou(boxes[i], boxes[j]) > nms_t for j in kept):
+        if any(_overlaps(boxes[i], boxes[j], nms_t) for j in kept):
             continue
         keep[i] = True
         kept.append(i)
