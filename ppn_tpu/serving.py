@@ -90,16 +90,24 @@ class PoseServer:
                 timeout: Optional[float] = None) -> People:
         return self.submit(image).result(timeout=timeout)
 
-    def warmup(self) -> None:
-        """Compile every bucket shape up front (serving tail latency)."""
+    def warmup(self, dtypes=(np.uint8, np.float32)) -> None:
+        """Compile every bucket shape up front (serving tail latency).
+
+        The jit cache keys on input dtype, so each transport dtype a
+        client may submit (uint8 is the 4×-cheaper wire format; float32
+        the [0,1] convenience one) needs its own bucket compiles — a
+        missing dtype here silently moves minutes of XLA compilation
+        into the first live requests.
+        """
         h, w = self._p.cfg.model.insize
-        zero = np.zeros((h, w, 3), np.float32)
-        b = 1
-        while True:
-            self._p.predict(np.broadcast_to(zero, (b, h, w, 3)))
-            if b == self.max_batch:
-                return
-            b *= 2
+        for dt in dtypes:
+            zero = np.zeros((h, w, 3), dt)
+            b = 1
+            while True:
+                self._p.predict(np.broadcast_to(zero, (b, h, w, 3)))
+                if b == self.max_batch:
+                    break
+                b *= 2
 
     def stats(self) -> Dict:
         with self._stats_lock:
