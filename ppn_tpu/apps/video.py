@@ -54,7 +54,7 @@ def make_video_pipeline(cfg, graphdef):
 
 
 def synthetic_frames(n: int, size=(720, 1280), seed: int = 0,
-                     pool: int = 16):
+                     pool: int = 16, fps: float = 30.0):
     """Deterministic 720p frames with moving stick figures.
 
     A small pool of unique frames is pre-rendered BEFORE streaming starts
@@ -62,7 +62,15 @@ def synthetic_frames(n: int, size=(720, 1280), seed: int = 0,
     while a camera delivers frames for free, so on-demand generation
     would starve the capture thread and the benchmark would measure the
     generator instead of the serving loop (BASELINE config #5 is the
-    latter)."""
+    latter).
+
+    Frames are paced at ``fps`` (default 30, a standard camera rate): a
+    pre-rendered pool yields infinitely fast, and an unpaced producer
+    races through the whole stream while the consumer handles its first
+    frame — the latest-frame slot then drops everything and the
+    "stream" degenerates to a single sample. Pacing models the source a
+    streaming-pose deployment actually has; the pipeline's own rate
+    still shows up as frames-processed/wall (it can't exceed fps)."""
     from ppn_tpu.data.synthetic import SyntheticPoseDataset
     import dataclasses
 
@@ -76,7 +84,18 @@ def synthetic_frames(n: int, size=(720, 1280), seed: int = 0,
     uniq = min(n, pool)
     ds = SyntheticPoseDataset(cfg, size=uniq, seed=seed, num_persons=2)
     frames = [(ds[i]["image"] * 255).astype(np.uint8) for i in range(uniq)]
+    period = 1.0 / fps if fps > 0 else 0.0
+    t_next = time.perf_counter()
     for i in range(n):
+        if period:
+            now = time.perf_counter()
+            delay = t_next - now
+            if delay > 0:
+                time.sleep(delay)
+            # No catch-up bursts: if the consumer stalled us (e.g. its
+            # first-frame compile), a real camera would have dropped
+            # those frames, not delivered them all at once.
+            t_next = max(t_next, now) + period
         yield frames[i % uniq]
 
 
@@ -193,6 +212,20 @@ def main(argv=None):
     else:
         frames = capture_frames(args.source)
 
+    # Compile the frame pipeline BEFORE the capture thread starts: the
+    # latest-frame slot below drops stale frames by design, so a cold
+    # first-dispatch compile (tens of seconds through a remote-compile
+    # endpoint) would silently eat the whole stream — the producer races
+    # through its frames while the consumer is stuck in XLA. Peek the
+    # first frame, warm the exact shape/dtype, then chain it back.
+    import itertools
+
+    frames = iter(frames)
+    first = next(frames, None)
+    if first is not None:
+        jax.device_get(pipeline(state, first))
+        frames = itertools.chain([first], frames)
+
     # Capture thread feeding a latest-frame slot (drop stale frames), the
     # reference's capture-thread pattern (SURVEY.md §3.3).
     slot: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=1)
@@ -242,7 +275,12 @@ def main(argv=None):
     # dispatch→result per frame — it never includes the wait for the
     # *next* frame to arrive from the source (which the old
     # finish-on-next-dispatch scheme folded into every sample).
-    results: queue.Queue = queue.Queue(maxsize=8)
+    # maxsize=2 IS the double-buffering: frame N+1 uploads/computes while
+    # frame N's result is fetched. A deeper queue would only add in-flight
+    # frames ahead of a slower-than-source pipeline, inflating every
+    # recorded latency by (depth × service time) of pure queue wait —
+    # the drop-stale slot upstream already absorbs the rate mismatch.
+    results: queue.Queue = queue.Queue(maxsize=2)
     consumer_error: list = []
 
     def consumer():
