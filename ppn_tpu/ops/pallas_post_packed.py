@@ -464,10 +464,23 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     more images per grid step (G = ⌊q / max(K1, L)⌋), halving the serial
     group count at the cost of VMEM; decisions are identical for any q.
     """
+    views = packed_views(cfg, feature_map, exact_bf16=exact_bf16, q=q)
+    return packed_call(cfg, feature_map.shape[0], views, interpret=interpret,
+                       skip=skip, exact_bf16=exact_bf16, q=q)
+
+
+def packed_views(cfg: PPNConfig, feature_map, exact_bf16: bool = False,
+                 q: int = 128):
+    """Build the XLA-prearranged kernel input views (colq, rowq, e).
+
+    Split out of :func:`postprocess_batch_packed` so the attribution
+    tooling (tools/packed_split.py) can time view materialization and
+    the kernel separately — a fused-reduce probe can't, because XLA
+    fuses a transpose into a consuming reduction and never materializes
+    it, while a pallas_call consumer forces the HBM round trip."""
     H, W = cfg.outsize
     K1 = cfg.num_classes
     L = cfg.num_limbs
-    P = cfg.max_instances
     N = H * W
     NW = cfg.local_grid_size[0] * cfg.local_grid_size[1]
     G = group_size(cfg, q)
@@ -512,6 +525,26 @@ def postprocess_batch_packed(cfg: PPNConfig, feature_map,
     e = fm[..., 6 * K1:].reshape(nb, G, N, L, NW)
     e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
     e = jnp.pad(e, ((0, 0), (0, 0), (0, q - L * G), (0, Npad - N)))
+    return colq, rowq, e
+
+
+def packed_call(cfg: PPNConfig, B: int, views, interpret: bool = False,
+                skip: frozenset = frozenset(), exact_bf16: bool = False,
+                q: int = 128) -> People:
+    """Run the packed kernel on prebuilt views (see packed_views)."""
+    H, W = cfg.outsize
+    K1 = cfg.num_classes
+    L = cfg.num_limbs
+    P = cfg.max_instances
+    N = H * W
+    NW = cfg.local_grid_size[0] * cfg.local_grid_size[1]
+    G = group_size(cfg, q)
+    Bp = -(-B // G) * G
+    nb = Bp // G
+    Npad = -(-N // 128) * 128
+    in_dt = jnp.bfloat16 if exact_bf16 else jnp.float32
+    derive_colq = exact_bf16
+    colq, rowq, e = views
 
     kernel = _make_packed_kernel(cfg, G, skip, q, derive_colq)
     grid = (nb,)

@@ -87,6 +87,57 @@ def main(argv=None):
         results[name] = round(timed(fn) * 1e3, 3)
         print(f"{name}: {results[name]} ms @B={args.batch}", flush=True)
 
+    # Clean prep-vs-kernel split: time view materialization alone (as jit
+    # OUTPUTS the transposes must hit HBM — a fused-reduce probe would let
+    # XLA elide them) and the kernel alone on prebuilt device views.
+    from ppn_tpu.ops.pallas_post_packed import packed_call, packed_views
+
+    views_fn = jax.jit(lambda x: packed_views(cfg, x, exact_bf16=args.bf16,
+                                              q=args.q))
+
+    def timed_views():
+        o = views_fn(fm)
+        jax.block_until_ready(o)
+        float(jax.device_get(o[1][0, 0, 0]))
+
+        def once():
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                o = views_fn(fm)
+            jax.block_until_ready(o)
+            float(jax.device_get(o[1][0, 0, 0]))
+            return (time.perf_counter() - t0) / args.iters
+
+        once()
+        return min(once() for _ in range(3))
+
+    results["views"] = round(timed_views() * 1e3, 3)
+    print(f"views: {results['views']} ms @B={args.batch}", flush=True)
+
+    dev_views = jax.block_until_ready(views_fn(fm))
+    kern_fn = jax.jit(lambda v: scalarize(
+        packed_call(cfg, args.batch, v, interpret, frozenset(),
+                    exact_bf16=args.bf16, q=args.q)))
+
+    def timed_kernel():
+        o = kern_fn(dev_views)
+        jax.block_until_ready(o)
+        float(jax.device_get(o))
+
+        def once():
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                o = kern_fn(dev_views)
+            jax.block_until_ready(o)
+            float(jax.device_get(o))
+            return (time.perf_counter() - t0) / args.iters
+
+        once()
+        return min(once() for _ in range(3))
+
+    results["kernel"] = round(timed_kernel() * 1e3, 3)
+    print(f"kernel: {results['kernel']} ms @B={args.batch}", flush=True)
+
     full = results["full"]
     print(json.dumps({
         "batch": args.batch,
@@ -95,6 +146,8 @@ def main(argv=None):
         "window_ms": round(full - results["no_window"], 3),
         "walk_ms": round(full - results["no_walk"], 3),
         "prep_and_decode_ms": results["decode_only"],
+        "views_ms": results["views"],
+        "kernel_ms": results["kernel"],
     }))
 
 
