@@ -96,11 +96,9 @@ def run_bench():
     @jax.jit
     def pipeline(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
-        fm = m(images)
-        # exact_bf16: lossless for model outputs (head computes in bf16);
-        # the packed kernel's prep views then move half the HBM bytes.
-        people = post.postprocess_batch_fast_fn(cfg.model, fm,
-                                                exact_bf16=True)
+        # Fused fast path: on TPU wide batches the head GEMM emits the
+        # packed kernel's views directly (no relayout, no f32 upcast).
+        people = post.forward_postprocess_fast_fn(cfg.model, m, images)
         return people.kp_box, people.kp_score, people.valid
 
     rng = np.random.default_rng(0)
@@ -142,8 +140,7 @@ def run_bench():
 
     def body(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
-        return post.postprocess_batch_fast_fn(cfg.model, m(images),
-                                              exact_bf16=True)
+        return post.forward_postprocess_fast_fn(cfg.model, m, images)
 
     dev_ms = device_latency_ms(body, params, rest, images, iters=10)
     ips = batch / dev_ms * 1e3

@@ -47,8 +47,9 @@ def _pipeline_body(cfg, graphdef):
 
     def body(params, rest, images):
         m = nnx.merge(graphdef, params, rest)
-        fm = m(images)
-        p = post.postprocess_batch_fast_fn(cfg.model, fm, exact_bf16=True)
+        # wide batches take the transposed-head GEMM fast path (the head
+        # emits the packed kernel's views directly — ops/postprocess.py)
+        p = post.forward_postprocess_fast_fn(cfg.model, m, images)
         return p.kp_box, p.kp_score, p.valid
 
     return body

@@ -34,15 +34,18 @@ class Predictor:
         @jax.jit
         def _run(params, rest, images):
             m = nnx.merge(graphdef, params, rest)
-            fm = m(images)
             if flip_tta:
                 from ppn_tpu.ops.tta import merge_flip_tta, mirror_images
+                fm = m(images)
                 fm = merge_flip_tta(cfg.model, fm,
                                     m(mirror_images(images)))
-            # bf16 prep views are lossless only for raw model outputs —
-            # TTA-averaged maps are not bf16-exact (ops/pallas_post_packed)
-            return post.postprocess_batch_fast_fn(cfg.model, fm,
-                                                  exact_bf16=not flip_tta)
+                # bf16 prep views are lossless only for raw model outputs
+                # — TTA-averaged maps are not bf16-exact
+                return post.postprocess_batch_fast_fn(cfg.model, fm,
+                                                      exact_bf16=False)
+            # fused fast path: wide TPU batches run the head as a
+            # transposed GEMM emitting the packed kernel's views directly
+            return post.forward_postprocess_fast_fn(cfg.model, m, images)
 
         self._run = _run
 

@@ -8,6 +8,7 @@ the loss/decode math runs in float32.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -61,6 +62,69 @@ class PoseProposalNet(nnx.Module):
         x = (images - mean) / std
         f = self.backbone(x.astype(self.dtype))
         return self.head(f).astype(jnp.float32)
+
+    def packed_feature(self, images: jnp.ndarray, *, q: int = 256):
+        """Serving-path forward: head outputs emitted directly in the
+        packed postprocess kernel's channels-major layouts.
+
+        The final 1×1 conv is computed as the transposed GEMM
+        ``Wᵀ·Xᵀ`` (same bf16 MXU contraction, same bias add — values
+        bitwise equal to ``__call__``'s feature map cast to bf16;
+        tests/test_packed_head.py), with grid cells pre-padded to the
+        lane tile so the outputs ARE the kernel views: the ~1 ms of XLA
+        relayouts `ops/pallas_post_packed.packed_views` pays at B=128
+        never happens, and neither does the f32 upcast round-trip.
+
+        Returns ``(box_t (6·(K+1), nb·Gp, Npad), e_t (L·NW, nb·Gp, Npad))``
+        in bfloat16, batch zero-padded per packed-kernel group to the
+        group stride Gp (sublane-aligned DMA slices) for the given
+        quantity width ``q``.
+        """
+        from ppn_tpu.ops.pallas_post_packed import group_size, group_stride
+
+        cfg = self.cfg
+        K1 = cfg.num_classes
+        H, W = cfg.outsize
+        N = H * W
+        G = group_size(cfg, q)
+        Gp = group_stride(cfg, q)
+        Npad = -(-N // 128) * 128
+
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        mean = jnp.asarray(self.MEAN, images.dtype)
+        std = jnp.asarray(self.STD, images.dtype)
+        x = (images - mean) / std
+        f = self.backbone(x.astype(self.dtype))
+        h = nnx.leaky_relu(self.head.block(f), negative_slope=0.1)
+
+        B = h.shape[0]
+        Bp = -(-B // G) * G
+        nb = Bp // G
+        h = h.reshape(B, N, -1)
+        # pad cells → Npad and groups → Gp BEFORE the GEMM: the pads ride
+        # the small activation tensor (and mostly fuse into the
+        # leaky_relu), not the 2× larger output (a standalone output pad
+        # measured ~0.6 ms @B=128 — tools/view_probe.py e_flat_pad vs
+        # e_flat2d)
+        h = jnp.pad(h, ((0, Bp - B), (0, Npad - N), (0, 0)))
+        h = h.reshape(nb, G, Npad, -1)
+        h = jnp.pad(h, ((0, 0), (0, Gp - G), (0, 0), (0, 0)))
+        h = h.reshape(nb * Gp, Npad, -1)
+        kern = self.head.out.kernel[...].reshape(h.shape[-1], -1)
+        bias = self.head.out.bias[...]
+        kern = kern.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        # (C_part, Bp, Npad) = Wᵀ·Xᵀ — one MXU GEMM per channel group,
+        # output written channels-major (no transpose pass anywhere)
+        def t_gemm(w, b):
+            out = jax.lax.dot_general(
+                w, h, dimension_numbers=(((0,), (2,)), ((), ())))
+            return out + b[:, None, None]
+
+        box_t = t_gemm(kern[:, :6 * K1], bias[:6 * K1])
+        e_t = t_gemm(kern[:, 6 * K1:], bias[6 * K1:])
+        return box_t, e_t
 
 
 def num_params(model: nnx.Module) -> int:

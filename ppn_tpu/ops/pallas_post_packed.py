@@ -24,7 +24,13 @@ those serial stages processes G images per instruction:
   packed block, too big for VMEM next to the NMS masks; it stays in HBM
   (memory_space=ANY) as RAW logits (σ is computed in-kernel after each
   DMA — VPU work hidden under the next offset's copy) and the window
-  loop double-buffers one (128, Npad) slice per offset via async DMA.
+  loop double-buffers one (L, G, Npad) slice per offset via async DMA.
+  Its HBM layout is (L, NW, nb, G, Npad) — channels-major, exactly one
+  flat 2D transpose away from the feature map (and ZERO ops away from
+  a transposed head GEMM, see nn/model.py ``packed_feature``): the old
+  (nb, NW, L·G, Npad) layout forced XLA into a worst-case (j, l, b)
+  relayout that cost ~1.05 ms of the ~3.4 ms fused postprocess @B=128
+  (r4 attribution, tools/view_probe.py).
 * **bf16 prep views.** The head computes in bfloat16 and upcasts to
   float32 (nn/model.py), so model-produced feature maps are bf16-exact:
   with ``exact_bf16=True`` all three XLA-prearranged views are built in
@@ -87,6 +93,14 @@ def group_size(cfg: PPNConfig, q: int = 128) -> int:
     return max(1, q // max(cfg.num_classes, cfg.num_limbs))
 
 
+def group_stride(cfg: PPNConfig, q: int = 128) -> int:
+    """Per-group image stride of the e view: G rounded up to the sublane
+    tile (8) — Mosaic requires DMA copy shapes 8-aligned on the
+    second-minor axis, and the kernel's per-offset e slice is
+    (L, Gp, Npad)."""
+    return -(-group_size(cfg, q) // 8) * 8
+
+
 def _make_packed_kernel(cfg: PPNConfig, G: int,
                         skip: frozenset = frozenset(), q: int = 128,
                         derive_colq: bool = False):
@@ -110,6 +124,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
     dst_of = [d for _, d in cfg.edges]
     Q = q                           # quantity-block width (lanes/rows)
     R = G * K1                      # real lanes/rows; padded to Q
+    Gp = -(-G // 8) * 8             # e-view group stride (8-aligned DMA)
     Npad = -(-N // 128) * 128
     CH = 48 if N % 48 == 0 else (8 if N % 8 == 0 else N)  # pair-build chunk
     Hl, Wl = cfg.local_grid_size
@@ -125,8 +140,10 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
                   (absent under derive_colq: transposed from rowq in-kernel)
         rowq_hbm: (nb, 6·128, Npad) HBM — same logits transposed: rows
                   c·G+g per 128-row quantity block, cells on lanes
-        e_hbm:    (nb, NW, 128, Npad) HBM — RAW limb logits, rows
-                  l·G+g, DMA'd per window offset; σ applied in-kernel
+        e_hbm:    (L, NW, nb, Gp, Npad) HBM — RAW limb logits in
+                  channels-major order (group stride Gp = G rounded to the
+                  sublane tile); a (L, Gp, Npad) slice is DMA'd per window
+                  offset and σ applied in-kernel
                   (dtypes f32, or bf16 under exact_bf16)
         outputs:  (G, P, 128) f32 each
         scratch:  m_scr (N, N, 128) bf16 suppression masks; colq_s/rowq_s
@@ -134,7 +151,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
                   DMA — block b+1's copies start as soon as block b's
                   arrive, hiding the per-group input latency; the automatic
                   pipeline's double buffers alone overflow 16 MB VMEM);
-                  e_buf (2, 128, Npad) f32 + sem: window double buffer
+                  e_buf (2, L, G, Npad) + sem: window double buffer
                   (the window-neighbor validity/index rows are computed
                   from iota per offset for the same VMEM reason)
         """
@@ -275,6 +292,9 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         und0 = jnp.where(score > det_t, 1.0, 0.0)
         if "nms" in skip:
             kept = und0
+        elif "nmsfix" in skip:
+            # masks built, fixpoint skipped (attribution: build vs waves)
+            kept = jnp.where(suppressed_by(und0), und0, und0)
         else:
             kept, _ = jax.lax.while_loop(cond, body, (kept0, und0))
 
@@ -321,41 +341,41 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         skeptT = score_r[:, :N] * keptT                    # (128, N)
 
         # ---------------- dense limb-window best-destination maps ----------
-        # d_all rows l·G+g = post-NMS score of edge l's DST class; ascending
+        # d_all[l, g] = post-NMS score row of edge l's DST class; ascending
         # strict-max over window offsets j = first-max tie-break, matching
-        # the XLA argmax exactly (ops/parse.py).
-        d_parts = [skeptT[d * G:(d + 1) * G] for d in dst_of]
-        if Q - L * G:
-            d_parts.append(jnp.zeros((Q - L * G, N), jnp.float32))
-        d_all = jnp.concatenate(d_parts, axis=0)           # (Q, N)
+        # the XLA argmax exactly (ops/parse.py). 3D (L, G, N) to line up
+        # with the channels-major e slices — no q-pad rows to drag along.
+        d_all = jnp.concatenate(
+            [skeptT[d * G:(d + 1) * G].reshape(1, G, N) for d in dst_of],
+            axis=0)                                        # (L, G, N)
 
         def dma(j):
             return pltpu.make_async_copy(
-                e_hbm.at[b, j], e_buf.at[j % 2], sem.at[j % 2])
+                e_hbm.at[:, j, b], e_buf.at[j % 2], sem.at[j % 2])
 
         # per-offset neighbor validity/index rows from iota (the static
         # (NW, Npad) tables as pipelined inputs cost ~0.3 MB of VMEM)
-        n_row = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        n_row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
         yy_row = n_row // W
         xx_row = n_row % W
 
-        bv = jnp.zeros((Q, N), jnp.float32)
-        bdst = jnp.zeros((Q, N), jnp.float32)
-        bdsc = jnp.zeros((Q, N), jnp.float32)
+        bv = jnp.zeros((L, G, N), jnp.float32)
+        bdst = jnp.zeros((L, G, N), jnp.float32)
+        bdsc = jnp.zeros((L, G, N), jnp.float32)
         if "window" not in skip:
             dma(0).start()
         for j in ([] if "window" in skip else range(NW)):
             if j + 1 < NW:
                 dma(j + 1).start()
             dma(j).wait()
-            ej = _sigmoid(e_buf[j % 2][:, :N].astype(jnp.float32))
+            ej = _sigmoid(e_buf[j % 2][:, :G, :N].astype(jnp.float32))
             s = shifts[j]
             dy, dx = j // Wl - chw, j % Wl - cww
             okj = ((yy_row + dy >= 0) & (yy_row + dy <= H - 1)
                    & (xx_row + dx >= 0) & (xx_row + dx <= W - 1))
-            nv = jnp.where(okj, 1.0, 0.0)                  # (1, N)
+            nv = jnp.where(okj, 1.0, 0.0)                  # (1, 1, N)
             nc = jnp.where(okj, (n_row + s).astype(jnp.float32), 0.0)
-            wj = pltpu.roll(d_all, (-s) % N, axis=1) * nv
+            wj = pltpu.roll(d_all, (-s) % N, axis=2) * nv
             escj = ej * wj
             better = escj > bv
             bv = jnp.where(better, escj, bv)
@@ -379,7 +399,7 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
         col_n = jax.lax.broadcasted_iota(
             jnp.int32, (G, 1, N), 2).astype(jnp.float32)
         masked = inst
-        for p in range(P):
+        for p in ([] if "seeds" in skip else range(P)):
             v = jnp.max(masked, axis=2, keepdims=True)     # (G, 1, 1)
             first = jnp.min(jnp.where(masked == v, col_n, float(N)),
                             axis=2, keepdims=True)
@@ -400,9 +420,9 @@ def _make_packed_kernel(cfg: PPNConfig, G: int,
             src_cell = cells_a[:, :, s_c:s_c + 1]          # (G, P, 1)
             src_ok = oks_a[:, :, s_c:s_c + 1]
             sel = jnp.where(row_n == src_cell, 1.0, 0.0)   # (G, P, N)
-            bv_l = bv[l * G:(l + 1) * G].reshape(G, 1, N)
-            bd_l = bdst[l * G:(l + 1) * G].reshape(G, 1, N)
-            bs_l = bdsc[l * G:(l + 1) * G].reshape(G, 1, N)
+            bv_l = bv[l].reshape(G, 1, N)
+            bd_l = bdst[l].reshape(G, 1, N)
+            bs_l = bdsc[l].reshape(G, 1, N)
             ev = jnp.sum(sel * bv_l, axis=2, keepdims=True)  # (G, P, 1)
             ed = jnp.sum(sel * bd_l, axis=2, keepdims=True)
             es = jnp.sum(sel * bs_l, axis=2, keepdims=True)
@@ -512,20 +532,53 @@ def packed_views(cfg: PPNConfig, feature_map, exact_bf16: bool = False,
     rowq = jnp.pad(rowq, ((0, 0), (0, 0), (0, q - K1 * G),
                           (0, Npad - N)))
     rowq = rowq.reshape(nb, 6 * q, Npad)
-    # Limb window tensor, RAW logits, rows l·G+g — stays in HBM, DMA'd per
-    # offset; σ runs in-kernel on the f32 upcast, bitwise the act.e the XLA
-    # parse path uses (decode._sigmoid also upcasts before σ). Padding rows
-    # carry 0-logits → σ→0.5 in-kernel, harmless: they only ever multiply
-    # the all-zero d_all padding rows.
-    # Plain XLA transpose. An MXU identity-einsum lane-transpose was built
-    # and A/B'd on hardware (bitwise-equal in bf16) but measured SLOWER
-    # (0.74 vs 0.52 ms standalone @B=128); with bf16 views the whole
-    # three-view prep is ~0.95 ms — the packed pipeline's remaining floor
-    # is the kernel's decode/DMA chain, not this relayout.
-    e = fm[..., 6 * K1:].reshape(nb, G, N, L, NW)
-    e = jnp.transpose(e, (0, 4, 3, 1, 2)).reshape(nb, NW, L * G, N)
-    e = jnp.pad(e, ((0, 0), (0, 0), (0, q - L * G), (0, Npad - N)))
+    # Limb window tensor, RAW logits, channels-major (L, NW, nb, G, Npad) —
+    # stays in HBM, DMA'd per offset as (L, G, Npad) slices; σ runs
+    # in-kernel on the f32 upcast, bitwise the act.e the XLA parse path
+    # uses (decode._sigmoid also upcasts before σ).
+    # This layout is ONE flat 2D transpose from the feature map (cells in,
+    # channels out) — r4 attribution (tools/view_probe.py): the old
+    # (nb, NW, L·G, Npad) row-packed layout forced a worst-case (j, l, b)
+    # relayout costing ~1.05 ms device @B=128 vs ~0.25 for the flat
+    # transpose. A transposed head GEMM emits it outright (zero prep ops;
+    # nn/model.py packed_feature + views_from_packed_head).
+    Gp = group_stride(cfg, q)
+    e = fm[..., 6 * K1:].reshape(Bp * N, L * NW)
+    e = jnp.transpose(e, (1, 0)).reshape(L * NW, nb, G, N)
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, Gp - G), (0, Npad - N)))
+    e = e.reshape(L, NW, nb, Gp, Npad)
     return colq, rowq, e
+
+
+def views_from_packed_head(cfg: PPNConfig, box_t, e_t, q: int = 128):
+    """Kernel input views from transposed head GEMM outputs (the serving
+    fast path — nn/model.py ``packed_feature``).
+
+    box_t: (6·(K+1), nb·Gp, Npad) bf16 — box logits, channels-major
+    e_t:   (L·NW, nb·Gp, Npad) bf16 — limb logits, channels-major
+    (Gp = group_stride(cfg, q): the batch is padded per group to the
+    sublane tile so the kernel's per-offset e DMA is 8-aligned.)
+
+    The e view is a pure reshape (zero ops); the rowq view is a small
+    leading-dims permute of the ~4 MB box block (the per-group pad images
+    are sliced back out) plus a one-row q pad. Compare packed_views,
+    which pays a flat 2D transpose (~0.25 ms @B=128) to reach the same
+    layouts from a (B, H', W', C) feature map.
+    """
+    K1 = cfg.num_classes
+    L = cfg.num_limbs
+    N = cfg.outsize[0] * cfg.outsize[1]
+    NW = cfg.local_grid_size[0] * cfg.local_grid_size[1]
+    G = group_size(cfg, q)
+    Gp = group_stride(cfg, q)
+    Npad = -(-N // 128) * 128
+    nb = box_t.shape[1] // Gp
+    rowq = box_t.reshape(6, K1, nb, Gp, Npad)[:, :, :, :G]
+    rowq = jnp.transpose(rowq, (2, 0, 1, 3, 4)).reshape(nb, 6, K1 * G, Npad)
+    rowq = jnp.pad(rowq, ((0, 0), (0, 0), (0, q - K1 * G), (0, 0)))
+    rowq = rowq.reshape(nb, 6 * q, Npad)
+    e = e_t.reshape(L, NW, nb, Gp, Npad)
+    return None, rowq, e
 
 
 def packed_call(cfg: PPNConfig, B: int, views, interpret: bool = False,
@@ -594,7 +647,7 @@ def packed_call(cfg: PPNConfig, B: int, views, interpret: bool = False,
             pltpu.VMEM((N, N, q), jnp.bfloat16),
             pltpu.VMEM((N, q), jnp.bfloat16),
             *stage_scratch,
-            pltpu.VMEM((2, q, Npad), in_dt),
+            pltpu.VMEM((2, L, -(-G // 8) * 8, Npad), in_dt),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         # the mask block + its build transients need more than the 16 MB

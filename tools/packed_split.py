@@ -80,7 +80,14 @@ def main(argv=None):
                      ("no_nms", frozenset({"nms"})),
                      ("no_window", frozenset({"window"})),
                      ("no_walk", frozenset({"walk"})),
-                     ("decode_only", frozenset({"nms", "window", "walk"}))):
+                     # seeds can only be skipped together with the walk
+                     # (Mosaic crashes strided-slicing the then-constant
+                     # cells_a); seeds_ms is the marginal vs no_walk
+                     ("no_seeds_walk", frozenset({"seeds", "walk"})),
+                     # masks built, fixpoint waves skipped
+                     ("no_nmsfix", frozenset({"nmsfix"})),
+                     ("decode_only",
+                      frozenset({"nms", "window", "walk", "seeds"}))):
         fn = jax.jit(lambda x, sk=sk: scalarize(
             postprocess_batch_packed(cfg, x, interpret, sk,
                                      exact_bf16=args.bf16, q=args.q)))
@@ -143,8 +150,10 @@ def main(argv=None):
         "batch": args.batch,
         "full_ms": full,
         "nms_ms": round(full - results["no_nms"], 3),
+        "nms_waves_ms": round(full - results["no_nmsfix"], 3),
         "window_ms": round(full - results["no_window"], 3),
         "walk_ms": round(full - results["no_walk"], 3),
+        "seeds_ms": round(results["no_walk"] - results["no_seeds_walk"], 3),
         "prep_and_decode_ms": results["decode_only"],
         "views_ms": results["views"],
         "kernel_ms": results["kernel"],
