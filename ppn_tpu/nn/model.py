@@ -103,13 +103,13 @@ class PoseProposalNet(nnx.Module):
         nb = Bp // G
         h = h.reshape(B, N, -1)
         # pad cells → Npad and groups → Gp BEFORE the GEMM: the pads ride
-        # the small activation tensor (and mostly fuse into the
-        # leaky_relu), not the 2× larger output (a standalone output pad
-        # measured ~0.6 ms @B=128 — tools/view_probe.py e_flat_pad vs
-        # e_flat2d)
-        h = jnp.pad(h, ((0, Bp - B), (0, Npad - N), (0, 0)))
-        h = h.reshape(nb, G, Npad, -1)
-        h = jnp.pad(h, ((0, 0), (0, Gp - G), (0, 0), (0, 0)))
+        # the small activation tensor, not the 2× larger output (a
+        # standalone output pad measured ~0.6 ms @B=128 —
+        # tools/view_probe.py e_flat_pad vs e_flat2d). Tiny batch pad
+        # first, then ONE two-dim pad pass for the bulk.
+        h = jnp.pad(h, ((0, Bp - B), (0, 0), (0, 0)))
+        h = h.reshape(nb, G, N, -1)
+        h = jnp.pad(h, ((0, 0), (0, Gp - G), (0, Npad - N), (0, 0)))
         h = h.reshape(nb * Gp, Npad, -1)
         kern = self.head.out.kernel[...].reshape(h.shape[-1], -1)
         bias = self.head.out.bias[...]

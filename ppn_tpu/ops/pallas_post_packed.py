@@ -654,7 +654,7 @@ def packed_call(cfg: PPNConfig, B: int, views, interpret: bool = False,
         # default scoped-vmem allowance (scales with the quantity width);
         # v5e VMEM is large enough
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024 * max(1, q // 128)),
+            vmem_limit_bytes=min(128, 64 * max(1, q // 128)) * 1024 * 1024),
         interpret=interpret,
     )(*operands)
 

@@ -97,10 +97,25 @@ def forward_postprocess_fast_fn(cfg: PPNConfig, model, images) -> People:
             group_size, packed_call, views_from_packed_head)
 
         B = images.shape[0]
-        for q in (256, 128):
+        # widest quantity block the batch fills: each doubling halves the
+        # serial per-group stage count (q=512 vs 256 measured −0.7 ms on
+        # the B=128 fused batch even with its larger padded tail)
+        for q in (512, 256, 128):
             if B >= group_size(cfg, q=q):
                 box_t, e_t = model.packed_feature(images, q=q)
                 views = views_from_packed_head(cfg, box_t, e_t, q=q)
                 return packed_call(cfg, B, views, exact_bf16=True, q=q)
     fm = model(images)
     return postprocess_batch_fast_fn(cfg, fm, exact_bf16=True)
+
+
+def forward_postprocess_packed_fn(cfg: PPNConfig, model, images,
+                                  q: int = 256) -> People:
+    """The packed-head fused path at an explicit quantity width (A/B
+    harness entry; forward_postprocess_fast_fn picks q automatically)."""
+    from ppn_tpu.ops.pallas_post_packed import (packed_call,
+                                                views_from_packed_head)
+
+    box_t, e_t = model.packed_feature(images, q=q)
+    views = views_from_packed_head(cfg, box_t, e_t, q=q)
+    return packed_call(cfg, images.shape[0], views, exact_bf16=True, q=q)

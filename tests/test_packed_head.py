@@ -66,7 +66,7 @@ def test_packed_feature_matches_forward(cname):
     assert exact > 0.95, f"conv-vs-dot bf16 mismatch fraction {1 - exact}"
 
 
-@pytest.mark.parametrize("q,B", [(128, 9), (256, 17), (128, 2)])
+@pytest.mark.parametrize("q,B", [(128, 9), (256, 17), (128, 2), (512, 35)])
 def test_packed_pipeline_decisions_match_oracle(q, B):
     """packed_feature → views_from_packed_head → packed_call decisions ==
     XLA oracle postprocess on the same (reassembled) head values; covers
