@@ -67,13 +67,24 @@ class PoseProposalNet(nnx.Module):
         """Serving-path forward: head outputs emitted directly in the
         packed postprocess kernel's channels-major layouts.
 
-        The final 1×1 conv is computed as the transposed GEMM
-        ``Wᵀ·Xᵀ`` (same bf16 MXU contraction, same bias add — values
-        bitwise equal to ``__call__``'s feature map cast to bf16;
-        tests/test_packed_head.py), with grid cells pre-padded to the
-        lane tile so the outputs ARE the kernel views: the ~1 ms of XLA
-        relayouts `ops/pallas_post_packed.packed_views` pays at B=128
-        never happens, and neither does the f32 upcast round-trip.
+        The final 1×1 conv is computed as the transposed GEMM ``Wᵀ·Xᵀ``
+        with grid cells pre-padded to the lane tile, so the outputs ARE
+        the kernel views: the ~1 ms of XLA relayouts
+        `ops/pallas_post_packed.packed_views` pays at B=128 never
+        happens, and neither does the f32 upcast round-trip.
+
+        Numerics contract: same bf16 contraction and bias add as
+        ``__call__``; bitwise on CPU, but the TPU conv lowering
+        accumulates in a different pass order, so on hardware logits
+        carry a 1-bf16-ulp-at-accumulator-scale residue (~88% exactly
+        equal, max abs diff 6.25e-2 on logits spanning ±30 — near-
+        cancellation outputs see it as several output-scale ulps; every
+        dot formulation reproduces the identical residue, see
+        artifacts/tpu_pallas_parity.json packed_head_serving). Parse
+        DECISIONS are the tested contract and are bitwise vs the
+        standard path on hardware (tools/tpu_parity_artifact.py); a
+        score tie inside the residue could in principle flip — zero
+        observed.
 
         Returns ``(box_t (6·(K+1), nb·Gp, Npad), e_t (L·NW, nb·Gp, Npad))``
         in bfloat16, batch zero-padded per packed-kernel group to the

@@ -88,9 +88,11 @@ def forward_postprocess_fast_fn(cfg: PPNConfig, model, images) -> People:
     directly (``model.packed_feature`` + ``views_from_packed_head``):
     no feature-map relayout, no f32 upcast — ~1.3 ms off the fused
     B=128 serving batch vs forward + postprocess_batch_fast_fn.
-    Decisions are identical to the standard path (tested; the head GEMM
-    is bitwise the 1×1 conv in bf16). Elsewhere: standard forward +
-    the per-backend postprocess dispatch.
+    Decisions are identical to the standard path (tested on hardware:
+    tools/tpu_parity_artifact.py packed_head_serving; the head GEMM
+    matches the 1×1 conv to 1 bf16 ulp — the conv lowering's
+    accumulation order differs — and every parse decision is bitwise).
+    Elsewhere: standard forward + the per-backend postprocess dispatch.
     """
     if jax.default_backend() == "tpu":
         from ppn_tpu.ops.pallas_post_packed import (
