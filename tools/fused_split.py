@@ -60,11 +60,23 @@ def main(argv=None):
         box_t, e_t = m.packed_feature(images, q=q)
         return views_from_packed_head(cfg.model, box_t, e_t, q=q)[1:]
 
+    def trunk_h(params, rest, images):
+        # backbone + head conv block (everything before the 1×1 GEMM)
+        import jax.numpy as jnp
+
+        m = nnx.merge(graphdef, params, rest)
+        x = (images - jnp.asarray(m.MEAN, images.dtype)) / jnp.asarray(
+            m.STD, images.dtype)
+        f = m.backbone(x.astype(m.dtype))
+        return nnx.leaky_relu(m.head.block(f), negative_slope=0.1)
+
     results = {
         "batch": B,
         "q": q,
         "fused_ms": device_latency_ms(fused, params, rest, images,
                                       iters=args.iters),
+        "trunk_h_ms": device_latency_ms(trunk_h, params, rest, images,
+                                        iters=args.iters),
         "packed_feature_ms": device_latency_ms(head_only, params, rest,
                                                images, iters=args.iters),
         "feature_plus_views_ms": device_latency_ms(head_views, params, rest,
@@ -86,6 +98,8 @@ def main(argv=None):
     for k, v in results.items():
         if k.endswith("_ms"):
             results[k] = round(v, 3)
+    results["head_gemm_delta_ms"] = round(
+        results["packed_feature_ms"] - results["trunk_h_ms"], 3)
     results["views_delta_ms"] = round(
         results["feature_plus_views_ms"] - results["packed_feature_ms"], 3)
     results["kernel_delta_ms"] = round(
