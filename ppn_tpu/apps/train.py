@@ -57,6 +57,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="generic dotted-path config override, applied after "
                         "all other flags (e.g. --set data.rotate_deg=20 "
                         "--set model.nms_thresh=0.45); repeatable")
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="device-resident loop: SGD steps per dispatch "
+                        "(lax.scan over the device cache; requires the "
+                        "cache). Erases per-dispatch host overhead")
     p.add_argument("--device-cache", choices=["auto", "on", "off"],
                    default="auto",
                    help="hold the whole dataset in device memory and sample "
@@ -120,6 +124,8 @@ def main(argv=None):
         updates["eval_every"] = args.eval_every
     if args.ema_decay is not None:
         updates["ema_decay"] = args.ema_decay
+    if args.steps_per_call is not None:
+        updates["steps_per_call"] = args.steps_per_call
     if updates:
         tr = dataclasses.replace(tr, **updates)
         cfg = dataclasses.replace(cfg, train=tr)
@@ -155,7 +161,8 @@ def main(argv=None):
     # --overfit memorizes fixed samples; augmentation would defeat that.
     augment = False if args.overfit else None
     trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir,
-                      augment=augment, pretrained=args.pretrained)
+                      augment=augment, pretrained=args.pretrained,
+                      device_cache=cache if use_cache else None)
     try:
         final = trainer.run()
         print("final:", {k: round(v, 4) for k, v in final.items()})

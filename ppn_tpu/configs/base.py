@@ -246,6 +246,14 @@ class TrainConfig:
     dtype: str = "bfloat16"           # compute dtype; params stay float32
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Device-resident loop: SGD steps per dispatch when training from a
+    # DeviceCache (lax.scan over K steps; host sends one (K, B) index
+    # block instead of K batches). 1 = classic per-step dispatch.
+    # Erases the per-dispatch host round trip (~8 ms/step at B=128 on a
+    # tunneled rig); log/eval/checkpoint cadences round up to multiples
+    # of K. Same math/RNG stream/batches as per-step dispatch; params
+    # track it to cross-program rounding noise (test_multi_step).
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -283,6 +291,13 @@ class DataConfig:
     # quantize images to uint8 for host→device transport (4× less traffic;
     # source image data is 8-bit anyway) — normalized on device
     transfer_uint8: bool = True
+    # image dtype through the on-device augmentation (TPU batch path):
+    # bfloat16 halves the warp/color-suite HBM traffic; pixels are 8-bit
+    # at the source and the model computes in bfloat16 anyway, so the
+    # only numeric change is where the single bf16 rounding lands
+    # (pre-warp instead of post-normalize). "float32" restores the old
+    # exact chain.
+    augment_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

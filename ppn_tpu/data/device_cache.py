@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Dict, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ppn_tpu.data.pipeline import collate
@@ -43,6 +44,21 @@ def _device_capacity_guard(device: jax.Device, nbytes: int) -> None:
             f"DeviceCache of {nbytes / 1e9:.2f} GB exceeds 80% of one "
             f"device's {limit / 1e9:.2f} GB HBM; pass mesh= to shard the "
             "cache over the data axis, or stream with data/pipeline.py")
+
+
+def _pad_rows(data, n: int, ndev: int):
+    """Pad every array's rows cyclically to a multiple of ``ndev``
+    (shardings need equal per-device row counts; cyclic repeats keep
+    pad > n — dataset smaller than the mesh data axis — valid, ADVICE r3).
+    Works on host numpy and device jax arrays alike."""
+    pad = (-n) % ndev
+    if not pad:
+        return data
+    reps = 1 + -(-pad // n)
+    cat = (np.concatenate
+           if isinstance(next(iter(data.values())), np.ndarray)
+           else jnp.concatenate)
+    return {k: cat([v] * reps)[:n + pad] for k, v in data.items()}
 
 
 class DeviceCache:
@@ -80,21 +96,16 @@ class DeviceCache:
             sharding = jax.sharding.SingleDeviceSharding(device)
             out_sharding = None
         else:
+            host = _pad_rows(host, n, mesh.shape[data_axis])
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            ndev = mesh.shape[data_axis]
-            pad = (-n) % ndev
-            if pad:  # shardings need equal per-device row counts; repeat
-                # rows cyclically so pad > n (dataset smaller than the
-                # mesh data axis) still yields n+pad rows (ADVICE r3).
-                reps = 1 + -(-pad // n)
-                host = {k: np.concatenate([v] * reps)[:n + pad]
-                        for k, v in host.items()}
             sharding = NamedSharding(mesh, P(data_axis))
             out_sharding = sharding
         self.data = {k: jax.device_put(v, sharding) for k, v in host.items()}
         self.size = n
+        self._build_gather(out_sharding)
 
+    def _build_gather(self, out_sharding) -> None:
         @jax.jit
         def gather(cache, idx):
             out = jax.tree.map(lambda x: x[idx], cache)
@@ -104,6 +115,23 @@ class DeviceCache:
             return out
 
         self._gather = gather
+
+    def reshard(self, mesh: jax.sharding.Mesh,
+                data_axis: str = "data") -> None:
+        """Re-lay an existing cache over ``mesh``'s data axis in place.
+
+        Lets a Trainer that owns the mesh adopt a cache built without one
+        (the common CLI path): rows are padded cyclically to a multiple of
+        the axis size and round-robined across the chips' HBM; sample
+        indices keep addressing the original ``size`` rows.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows = int(next(iter(self.data.values())).shape[0])
+        data = _pad_rows(self.data, rows, mesh.shape[data_axis])
+        sharding = NamedSharding(mesh, P(data_axis))
+        self.data = {k: jax.device_put(v, sharding) for k, v in data.items()}
+        self._build_gather(sharding)
 
     def nbytes(self) -> int:
         return sum(int(np.prod(v.shape)) * v.dtype.itemsize

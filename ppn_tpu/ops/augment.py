@@ -47,12 +47,16 @@ def _flip_permutation(cfg: PPNConfig) -> jnp.ndarray:
 def _smooth3x3(img: jnp.ndarray) -> jnp.ndarray:
     """PIL ImageFilter.SMOOTH: 3×3 kernel [[1,1,1],[1,5,1],[1,1,1]]/13,
     edge-replicated. Written as 9 shifted adds — pure VPU elementwise work
-    that XLA fuses; no conv dispatch needed for a 3-channel image."""
+    that XLA fuses; no conv dispatch needed for a 3-channel image.
+    Accumulates in float32 whatever the storage dtype (the padded array
+    and its 9 shifted reads stay in the input dtype — with bfloat16
+    images that halves this pass's HBM traffic)."""
     p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    acc = 4.0 * img  # center weight 5 = 1 (from the loop below) + 4 here
+    acc = 4.0 * img.astype(jnp.float32)  # center weight 5 = 1 + 4 here
     for dy in (0, 1, 2):
         for dx in (0, 1, 2):
-            acc = acc + p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
+            acc = acc + p[dy:dy + img.shape[0],
+                          dx:dx + img.shape[1]].astype(jnp.float32)
     return acc / 13.0
 
 
@@ -119,19 +123,27 @@ def _sample_params(
 def _apply_color(dcfg: DataConfig, out: jnp.ndarray, color) -> jnp.ndarray:
     """The PIL ImageEnhance suite (ref:dataset.py†): Brightness/Contrast/
     Color(saturation)/Sharpness, each a lerp between the image and a
-    degenerate version."""
+    degenerate version.
+
+    Dtype-preserving: a bfloat16 image stays bfloat16 **between stages**
+    (half the HBM traffic on the train-step hot path — each stage is one
+    fused pass reading/writing bf16) with the arithmetic carried in
+    float32 registers inside the pass; reductions (mean) accumulate in
+    float32. float32 input keeps the original exact chain."""
+    dt = out.dtype
     b, c, s, sh = color
-    mean = jnp.mean(out, axis=(0, 1), keepdims=True)
-    out = ((out - mean) * c + mean) * b
+    f32 = jnp.float32
+    mean = jnp.mean(out.astype(f32), axis=(0, 1), keepdims=True)
+    out = (((out.astype(f32) - mean) * c + mean) * b).astype(dt)
     if dcfg.saturation_jitter > 0:
         gray = jnp.sum(
-            out * jnp.asarray([0.299, 0.587, 0.114], out.dtype),
+            out.astype(f32) * jnp.asarray([0.299, 0.587, 0.114], f32),
             axis=-1, keepdims=True)
-        out = gray + (out - gray) * s
+        out = (gray + (out.astype(f32) - gray) * s).astype(dt)
     if dcfg.sharpness_jitter > 0:
         smooth = _smooth3x3(out)
-        out = smooth + (out - smooth) * sh
-    return jnp.clip(out, 0.0, 1.0)
+        out = (smooth + (out.astype(f32) - smooth) * sh).astype(dt)
+    return jnp.clip(out.astype(f32), 0.0, 1.0).astype(dt)
 
 
 def _transform_gt(cfg: PPNConfig, fwd, scale, flip,
@@ -201,6 +213,11 @@ def augment_batch(cfg: PPNConfig, dcfg: DataConfig, key: jax.Array,
         img = batch["image"]
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
+        if dcfg.augment_dtype == "bfloat16":
+            # halve warp + color-suite HBM traffic (measured 8.8 → see
+            # docs/ARCHITECTURE.md journal @B=128); the model computes in
+            # bf16 regardless, only the rounding point moves
+            img = img.astype(jnp.bfloat16)
         bwd, fwd, scale, flip, color = jax.vmap(
             lambda k, bx, vl: _sample_params(cfg, dcfg, k, bx, vl)
         )(keys, batch["bboxes"], batch["valid"])

@@ -72,11 +72,16 @@ def _log_shift_cols(x, s_mod, H: int):
     return x
 
 
-def _make_warp_kernel(H: int, W: int, C: int):
+def _make_warp_kernel(H: int, W: int, C: int, io_dtype=jnp.float32):
     def kernel(img4_ref, m_ref, out4_ref):
-        """img4_ref: (1, C, H, W) f32 block; m_ref: (1, 1, 8) f32 SMEM
-        [a b c d e f . .]; out4_ref: (1, C, H, W) f32 block. Matches
-        affine_warp_separable's math."""
+        """img4_ref: (1, C, H, W) block; m_ref: (1, 1, 8) f32 SMEM
+        [a b c d e f . .]; out4_ref: (1, C, H, W) block. Matches
+        affine_warp_separable's math.
+
+        io_dtype=bfloat16 halves the kernel's HBM traffic with identical
+        internal math: pixels are rounded to bf16 at the first matmul
+        operand anyway, so a bf16 input block changes nothing in pass 1,
+        and the bf16 output is exactly round(f32 result)."""
         img_ref = img4_ref.at[0]
         out_ref = out4_ref.at[0]
         a = m_ref[0, 0, 0]
@@ -138,7 +143,8 @@ def _make_warp_kernel(H: int, W: int, C: int):
         for ch in range(C):
             # rolls stay f32 (Mosaic's dynamic_rotate crashes on bf16);
             # bf16 cast happens at the matmul operand, same values
-            R = _log_shift_rows(img_ref[ch], s_mod, W).astype(jnp.bfloat16)
+            R = _log_shift_rows(img_ref[ch].astype(jnp.float32), s_mod,
+                                W).astype(jnp.bfloat16)
             tmp = jnp.zeros((H, W), jnp.float32)
             for i in range(3):
                 A = jnp.dot(R, S1[i], preferred_element_type=jnp.float32)
@@ -151,7 +157,7 @@ def _make_warp_kernel(H: int, W: int, C: int):
             for i in range(3):
                 Bm = jnp.dot(S2[i], Rv, preferred_element_type=jnp.float32)
                 out = out + w2[i] * Bm
-            out_ref[ch] = out
+            out_ref[ch] = out.astype(io_dtype)
 
     return kernel
 
@@ -162,17 +168,23 @@ def affine_warp_batch_pallas(images, matrices, interpret: bool = False):
 
     images:   (B, H, W, C) float — warped at their own resolution
     matrices: (B, 2, 3) OUTPUT→INPUT affines (ops/image.make_affine bwd)
-    Returns (B, H, W, C) float32, zero-padded outside the source frame;
-    elementwise ≈ vmap(affine_warp_separable) (same weights/precision).
+    Returns (B, H, W, C) in the input's dtype (float32 or bfloat16),
+    zero-padded outside the source frame; elementwise ≈
+    vmap(affine_warp_separable) (same weights/precision). A bfloat16
+    input halves the kernel's HBM traffic and the surrounding NHWC↔NCHW
+    relayouts; its output equals round_bf16(float32 output) exactly
+    (pixels hit the matmul operands as bf16 either way).
     """
     B, H, W, C = images.shape
-    imgs = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
+    io_dtype = (jnp.bfloat16 if images.dtype == jnp.bfloat16
+                else jnp.float32)
+    imgs = jnp.transpose(images.astype(io_dtype), (0, 3, 1, 2))
     mats = jnp.concatenate(
         [matrices.reshape(B, 6).astype(jnp.float32),
          jnp.zeros((B, 2), jnp.float32)], axis=1).reshape(B, 1, 8)
 
     out = pl.pallas_call(
-        _make_warp_kernel(H, W, C),
+        _make_warp_kernel(H, W, C, io_dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0),
@@ -182,7 +194,7 @@ def affine_warp_batch_pallas(images, matrices, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((1, C, H, W), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), io_dtype),
         interpret=interpret,
     )(imgs, mats)
     return jnp.transpose(out, (0, 2, 3, 1))

@@ -136,48 +136,109 @@ def make_train_step(
     With ``augment=True`` the fused on-device affine/flip/color augmentation
     (ops/augment.py) runs inside this step before target encoding.
     """
+    body = partial(_train_step_body, cfg, graphdef, tx, augment)
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def _train_step_body(cfg: Config, graphdef, tx, augment: bool,
+                     state: TrainState, batch):
+    """One SGD step as a pure function — shared by the per-dispatch step
+    (make_train_step) and the device-resident scan loop
+    (make_multi_train_step); both paths consume the identical RNG stream
+    and math."""
     m = cfg.model
+    rng = state.rng
+    if augment:
+        from ppn_tpu.ops.augment import augment_batch
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch):
-        rng = state.rng
-        if augment:
-            from ppn_tpu.ops.augment import augment_batch
+        rng, sub = jax.random.split(rng)
+        batch = dict(batch, **augment_batch(m, cfg.data, sub, {
+            k: batch[k] for k in
+            ("image", "keypoints", "visible", "bboxes", "valid")}))
+    targets = enc.encode_batch(m, batch["keypoints"], batch["visible"],
+                               batch["bboxes"], batch["valid"])
 
-            rng, sub = jax.random.split(rng)
-            batch = dict(batch, **augment_batch(m, cfg.data, sub, {
-                k: batch[k] for k in
-                ("image", "keypoints", "visible", "bboxes", "valid")}))
-        targets = enc.encode_batch(m, batch["keypoints"], batch["visible"],
-                                   batch["bboxes"], batch["valid"])
+    def loss_fn(params):
+        # Re-box the non-diff state at this trace level: BatchNorm will
+        # mutate these Variables inside the grad trace, and flax forbids
+        # mutating Variables created at an outer trace.
+        rest = jax.tree.map(lambda x: x, state.rest)
+        model = nnx.merge(graphdef, params, rest)
+        fm = model(batch["image"])
+        total, terms = ppn_loss(m, fm, targets)
+        _, _, new_rest = nnx.split(model, nnx.Param, ...)
+        return total, (terms, new_rest)
 
-        def loss_fn(params):
-            # Re-box the non-diff state at this trace level: BatchNorm will
-            # mutate these Variables inside the grad trace, and flax forbids
-            # mutating Variables created at an outer trace.
-            rest = jax.tree.map(lambda x: x, state.rest)
-            model = nnx.merge(graphdef, params, rest)
-            fm = model(batch["image"])
-            total, terms = ppn_loss(m, fm, targets)
-            _, _, new_rest = nnx.split(model, nnx.Param, ...)
-            return total, (terms, new_rest)
+    (_, (terms, new_rest)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    d = cfg.train.ema_decay
+    new_ema = (None if state.ema_params is None else jax.tree.map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+        state.ema_params, new_params))
+    new_state = TrainState(params=new_params, rest=new_rest,
+                           opt_state=new_opt, step=state.step + 1,
+                           rng=rng, ema_params=new_ema)
+    terms = dict(terms)
+    terms["grad_norm"] = optax.global_norm(grads)
+    return new_state, terms
 
-        (_, (terms, new_rest)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        d = cfg.train.ema_decay
-        new_ema = (None if state.ema_params is None else jax.tree.map(
-            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-            state.ema_params, new_params))
-        new_state = TrainState(params=new_params, rest=new_rest,
-                               opt_state=new_opt, step=state.step + 1,
-                               rng=rng, ema_params=new_ema)
-        terms = dict(terms)
-        terms["grad_norm"] = optax.global_norm(grads)
-        return new_state, terms
 
-    return train_step
+def make_multi_train_step(
+    cfg: Config,
+    graphdef: nnx.GraphDef,
+    tx: optax.GradientTransformation,
+    augment: bool = True,
+    steps_per_call: int = 8,
+):
+    """Device-resident training: ``steps_per_call`` SGD steps per dispatch.
+
+    The per-dispatch host→device round trip costs ~8 ms/step at B=128 on
+    a tunneled rig (tools/train_split.py: 66.2 ms host loop vs 57.8 ms
+    device-honest) — and even co-located hosts pay a pytree-enqueue tax.
+    With the dataset already in HBM (data/device_cache.DeviceCache), the
+    TPU-native loop is a ``lax.scan`` over K steps: the host sends ONE
+    (K, B) int32 index block per dispatch and the chip never waits.
+
+    Returns ``multi_step(state, cache, idx) -> (state, mean_terms)``:
+      * ``cache`` — dict of device-resident collated arrays (rows =
+        samples), e.g. ``DeviceCache.data``; NOT donated, reused across
+        calls.
+      * ``idx`` — (steps_per_call, B) int32 sample indices.
+      * ``mean_terms`` — loss terms averaged over the K steps (one
+        logging point per dispatch).
+
+    Per-step math, RNG stream, and batches are IDENTICAL to
+    make_train_step (shared ``_train_step_body``). Parameters agree with
+    K per-step dispatches to cross-program rounding noise — the scan
+    body and the standalone step compile to different XLA fusions, so
+    gradients differ in their last f32 bits and the optimizer amplifies
+    that (~1e-4 max param diff after 4 steps; characterized in
+    tests/test_multi_step.py, bitwise at K=1).
+    """
+    body = partial(_train_step_body, cfg, graphdef, tx, augment)
+    keys = ("image", "keypoints", "visible", "bboxes", "valid")
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def multi_step(state: TrainState, cache, idx, batch_sharding=None):
+        data = {k: cache[k] for k in keys if k in cache}
+
+        def scan_body(st, i):
+            batch = jax.tree.map(lambda x: x[i], data)
+            if batch_sharding is not None:
+                # sharded-cache SPMD: pin the gathered batch to the data
+                # axis so the scan body stays the standard sharded step
+                batch = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, batch_sharding), batch)
+            st, terms = body(st, batch)
+            return st, terms
+
+        state, terms = jax.lax.scan(scan_body, state, idx)
+        return state, jax.tree.map(lambda t: jnp.mean(t, axis=0), terms)
+
+    return multi_step
 
 
 def make_eval_loss_step(cfg: Config, graphdef: nnx.GraphDef):

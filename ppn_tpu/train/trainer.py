@@ -28,7 +28,13 @@ class Trainer:
                  logdir: Optional[str] = None,
                  use_mesh: bool = True,
                  augment: Optional[bool] = None,
-                 pretrained: Optional[str] = None):
+                 pretrained: Optional[str] = None,
+                 device_cache=None):
+        """``device_cache``: a data/device_cache.DeviceCache. Combined
+        with cfg.train.steps_per_call > 1 it enables the device-resident
+        loop — K SGD steps per dispatch via lax.scan over index blocks,
+        erasing the per-dispatch host round trip (train/steps.py
+        make_multi_train_step)."""
         self.cfg = cfg
         self.batches = train_batches
         self.val_dataset = val_dataset
@@ -58,6 +64,31 @@ class Trainer:
         self.train_step = st.make_train_step(cfg, self.graphdef, self.tx,
                                              augment=augment)
         self.forward = st.make_forward(cfg, self.graphdef)
+
+        # Device-resident multi-step loop (K steps per dispatch).
+        self.device_cache = device_cache
+        k = cfg.train.steps_per_call
+        self.multi_step = None
+        self._batch_sharding = None
+        if device_cache is not None and k > 1:
+            cache_sharded = any(
+                len(v.sharding.device_set) > 1
+                for v in device_cache.data.values())
+            mesh_n = (int(np.prod(list(self.mesh.shape.values())))
+                      if self.mesh is not None else 1)
+            if mesh_n > 1 and not cache_sharded:
+                # adopt a single-device cache onto the trainer's mesh so
+                # the CLI path (cache built before the mesh exists) still
+                # gets the device-resident loop
+                device_cache.reshard(self.mesh, cfg.train.mesh_axes[0])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._batch_sharding = NamedSharding(
+                    self.mesh, P(cfg.train.mesh_axes[0]))
+            self.multi_step = st.make_multi_train_step(
+                cfg, self.graphdef, self.tx, augment=augment,
+                steps_per_call=k)
 
         self.ckpt = Checkpointer(cfg.train.checkpoint_dir)
         if cfg.train.resume:
@@ -92,6 +123,25 @@ class Trainer:
     def step(self) -> int:
         return int(jax.device_get(self.state.step))
 
+    def _index_blocks(self, batch_size: int, k: int, seed: int):
+        """Host-side sampler for the device-resident loop: yields
+        (k, batch_size) int32 index blocks, shuffled-epoch order
+        (with-replacement when the dataset is smaller than a batch —
+        mirrors DeviceCache.infinite_batches semantics)."""
+        n = self.device_cache.size
+        rng = np.random.default_rng(seed)
+        if n < batch_size:
+            while True:
+                yield rng.integers(0, n, (k, batch_size)).astype(np.int32)
+        buf = []
+        while True:
+            for i in rng.permutation(n)[
+                    :n - n % batch_size].reshape(-1, batch_size):
+                buf.append(i)
+                if len(buf) == k:
+                    yield np.stack(buf).astype(np.int32)
+                    buf = []
+
     def run(self, num_steps: Optional[int] = None) -> Dict[str, float]:
         t = self.cfg.train
         target = num_steps if num_steps is not None else t.num_steps
@@ -101,6 +151,31 @@ class Trainer:
         # host-side mirror of state.step: reading the device counter every
         # iteration would force a blocking sync per step
         step = self.step
+        k = t.steps_per_call
+        if self.multi_step is not None and step + k <= target:
+            # device-resident blocks of K steps; log/ckpt/eval cadences
+            # round up to block boundaries. The tail (< K steps) falls
+            # through to the per-step loop below.
+            blocks = self._index_blocks(t.batch_size, k, t.seed + step)
+            while step + k <= target:
+                self.state, terms = self.multi_step(
+                    self.state, self.device_cache.data, next(blocks),
+                    self._batch_sharding)
+                imgs += t.batch_size * k
+                prev, step = step, step + k
+                if step // t.log_every > prev // t.log_every:
+                    logs = {k_: float(v)
+                            for k_, v in jax.device_get(terms).items()}
+                    dt = time.time() - t_last
+                    logs["images_per_sec"] = imgs / max(dt, 1e-9)
+                    self.logger.log(step, logs)
+                    t_last, imgs = time.time(), 0
+                if (t.checkpoint_every and step // t.checkpoint_every
+                        > prev // t.checkpoint_every):
+                    self.ckpt.save(step, jax.device_get(self.state))
+                if (t.eval_every and self.val_dataset is not None
+                        and step // t.eval_every > prev // t.eval_every):
+                    self.logger.log(step, self.evaluate())
         while step < target:
             batch = next(self.batches)
             if self.mesh is not None:

@@ -155,3 +155,27 @@ def test_sharded_cache_smaller_than_mesh_axis():
     b = cache.batch(np.asarray([2, 0, 1, 2, 0, 1, 2, 0]))
     np.testing.assert_array_equal(
         np.asarray(b["image"]), ref["image"][[2, 0, 1, 2, 0, 1, 2, 0]])
+
+
+def test_reshard_moves_single_device_cache_onto_mesh():
+    """reshard(): a cache built without a mesh (the CLI path — the cache
+    exists before the Trainer's mesh does) re-lays its rows over the data
+    axis in place, with gathers row-exact and data-sharded afterwards."""
+    import jax
+
+    from ppn_tpu.parallel import make_mesh
+
+    cfg = get_config("tiny_test")
+    ds = SyntheticPoseDataset(cfg, size=10, seed=7)  # 10 % 8 != 0: pad path
+    cache = DeviceCache(ds, image_uint8=True)
+    assert len(cache.data["image"].sharding.device_set) == 1
+    ref = collate([ds[i] for i in range(10)], image_uint8=True)
+    mesh = make_mesh((8,), ("data",), devices=jax.devices()[:8])
+    cache.reshard(mesh)
+    assert cache.size == 10
+    assert len(cache.data["image"].sharding.device_set) == 8
+    b = cache.batch(np.asarray([9, 1, 4, 0, 7, 2, 8, 3]))
+    for k in ("image", "keypoints", "visible", "bboxes", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(b[k]), ref[k][[9, 1, 4, 0, 7, 2, 8, 3]])
+    assert b["image"].sharding.spec[0] == "data"

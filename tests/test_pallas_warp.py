@@ -71,6 +71,69 @@ def test_pallas_warp_batched_heterogeneous_matrices():
         assert np.abs(got[i] - want).max() <= 5e-3, i
 
 
+@pytest.mark.parametrize("angle,scale,tx,flip", CASES[:4])
+def test_pallas_warp_bf16_io_matches_f32_rounded(angle, scale, tx, flip):
+    """bfloat16 image in/out (the train-step hot path) changes only where
+    the rounding lands: pixels hit the matmul operands as bf16 either
+    way, so warp(bf16 img) == round_bf16(warp_f32(bf16 img)) exactly."""
+    img = _image()
+    H, W = img.shape[:2]
+    center = jnp.asarray([W / 2, H / 2], jnp.float32)
+    bwd, _ = make_affine(center, center, jnp.float32(angle),
+                         jnp.float32(scale),
+                         jnp.asarray([tx, -tx], jnp.float32), flip)
+    img16 = img.astype(jnp.bfloat16)
+    got16 = affine_warp_batch_pallas(img16[None], bwd[None], True)[0]
+    assert got16.dtype == jnp.bfloat16
+    want = affine_warp_batch_pallas(
+        img16.astype(jnp.float32)[None], bwd[None], True)[0]
+    np.testing.assert_array_equal(
+        np.asarray(got16), np.asarray(want.astype(jnp.bfloat16)))
+
+
+def test_augment_batch_bf16_dtype_flows_through():
+    """augment_dtype=bfloat16 (the default) yields a bfloat16 image with
+    identical GT transforms; pixels match the float32 chain to bf16
+    resolution."""
+    import dataclasses as dc
+
+    from ppn_tpu.ops import augment as aug
+
+    cfg = get_config("mpii_r18_384")
+    ds = SyntheticPoseDataset(cfg, size=2, seed=11)
+    from ppn_tpu.data.pipeline import collate
+
+    batch = collate([ds[i] for i in range(2)])
+    batch.pop("headsizes", None)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(5)
+    d16 = dc.replace(cfg.data, augment_dtype="bfloat16")
+    d32 = dc.replace(cfg.data, augment_dtype="float32")
+    # exercise the TPU batch path explicitly (CPU backend would take the
+    # vmapped-single route): sample → warp(interpret) → color
+    keys = jax.random.split(key, 2)
+    bwd, fwd, scale, flip, color = jax.vmap(
+        lambda k, bx, vl: aug._sample_params(cfg.model, d16, k, bx, vl)
+    )(keys, batch["bboxes"], batch["valid"])
+    out16 = affine_warp_batch_pallas(
+        batch["image"].astype(jnp.bfloat16), bwd, True)
+    out16 = jax.vmap(lambda o, b, c, s, sh:
+                     aug._apply_color(d16, o, (b, c, s, sh)))(out16, *color)
+    out32 = affine_warp_batch_pallas(batch["image"], bwd, True)
+    out32 = jax.vmap(lambda o, b, c, s, sh:
+                     aug._apply_color(d32, o, (b, c, s, sh)))(out32, *color)
+    assert out16.dtype == jnp.bfloat16
+    assert out32.dtype == jnp.float32
+    d = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+    # the bf16 chain rounds at each color stage (warp, contrast,
+    # saturation, sharpness, clip) and jitter factors scale up to ~1.2×:
+    # a few stacked half-ulp roundings on [0, 1.2] pixels bound at
+    # ~4 · 2⁻⁹ · 1.2 ≈ 0.009 (measured max 0.0084); mean stays at bf16
+    # noise
+    assert d.max() <= 2 ** -6, d.max()
+    assert d.mean() <= 2 ** -10, d.mean()
+
+
 def test_augment_batch_tpu_path_matches_single_path():
     """The batched-warp augment path (vmapped params + one Pallas warp)
     draws the identical random stream: GT transforms match the

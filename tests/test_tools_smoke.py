@@ -37,3 +37,13 @@ def test_train_split_runs_and_attributes(capsys):
                                      "opt_ema_only", "full_body"}
     assert rec["device_images_per_sec"] is None or \
         rec["device_images_per_sec"] > 0
+
+
+def test_bench_suite_3c_device_resident_smoke():
+    from ppn_tpu.bench.suite import bench_train_device_resident
+
+    rec = bench_train_device_resident(batch=2, k=2, cache_size=4,
+                                      config_name="tiny_test")
+    assert rec["config"] == "3c_train_device_resident"
+    assert rec["value"] > 0
+    assert rec["steps_per_call"] == 2

@@ -34,7 +34,16 @@ def main(argv=None):
     p.add_argument("--config", default="mpii_r18_384")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--stages", default="all",
+                   help="comma list of stages to time (remote compiles "
+                        "cost minutes each at B=128): any of full,"
+                        "no_augment,augment,encode,fwd,fwdbwd,opt,"
+                        "full_body — default all")
     args = p.parse_args(argv)
+    stages = (set(args.stages.split(","))
+              if args.stages != "all" else
+              {"full", "no_augment", "augment", "encode", "fwd", "fwdbwd",
+               "opt", "full_body"})
 
     import jax
     import jax.numpy as jnp
@@ -83,8 +92,20 @@ def main(argv=None):
         float(jax.device_get(terms["loss_total"]))
         return (time.perf_counter() - t0) / n * 1e3
 
-    t_full = timed_step(full_step)
-    t_noaug = timed_step(plain_step)
+    def progress(msg):
+        # remote compiles take minutes per program on this rig; emit stage
+        # marks so a bounded-timeout caller can see where time went
+        print(f"[train_split] {msg}", flush=True)
+
+    t_full = t_noaug = None
+    if "full" in stages:
+        progress("timing full step (host loop)")
+        t_full = timed_step(full_step)
+        progress(f"full_step {t_full:.2f} ms")
+    if "no_augment" in stages:
+        progress("timing no-augment step")
+        t_noaug = timed_step(plain_step)
+        progress(f"no_augment {t_noaug:.2f} ms")
 
     # ---- pieces, chained-slope (stateless bodies) ------------------------
     from ppn_tpu.ops.augment import augment_batch
@@ -96,17 +117,25 @@ def main(argv=None):
             "bboxes": bb, "valid": val})
         return out["image"]
 
-    d_aug = device_latency_ms(
-        augment_body, batch["keypoints"], batch["visible"],
-        batch["bboxes"], batch["valid"], batch["image"], iters=args.iters)
+    d_aug = None
+    if "augment" in stages:
+        progress("timing augment_only (chained)")
+        d_aug = device_latency_ms(
+            augment_body, batch["keypoints"], batch["visible"],
+            batch["bboxes"], batch["valid"], batch["image"],
+            iters=args.iters)
+        progress(f"augment_only {d_aug:.2f} ms")
 
     def encode_body(kp, vis, bb, val):
         t = enc.encode_batch(m, kp, vis, bb, val)
         return t.delta
 
-    d_enc = device_latency_ms(
-        encode_body, batch["keypoints"], batch["visible"], batch["bboxes"],
-        jnp.asarray(batch["valid"]), iters=args.iters)
+    d_enc = None
+    if "encode" in stages:
+        d_enc = device_latency_ms(
+            encode_body, batch["keypoints"], batch["visible"],
+            batch["bboxes"], jnp.asarray(batch["valid"]), iters=args.iters)
+        progress(f"encode_only {d_enc:.2f} ms")
 
     targets = jax.jit(enc.encode_batch, static_argnums=0)(
         m, batch["keypoints"], batch["visible"], batch["bboxes"],
@@ -133,30 +162,40 @@ def main(argv=None):
         import optax
         return total + optax.global_norm(grads)
 
-    d_fwd = device_latency_ms(fwd_body, params, batch["image"],
-                              iters=args.iters)
-    d_fwdbwd = device_latency_ms(fwdbwd_body, params, batch["image"],
-                                 iters=max(4, args.iters // 2))
+    d_fwd = d_fwdbwd = None
+    if "fwd" in stages:
+        progress("timing fwd_only (chained)")
+        d_fwd = device_latency_ms(fwd_body, params, batch["image"],
+                                  iters=args.iters)
+        progress(f"fwd_only {d_fwd:.2f} ms")
+    if "fwdbwd" in stages:
+        progress("timing fwdbwd_only")
+        d_fwdbwd = device_latency_ms(fwdbwd_body, params, batch["image"],
+                                     iters=max(4, args.iters // 2))
+        progress(f"fwdbwd_only {d_fwdbwd:.2f} ms")
 
     # ---- optimizer + EMA alone: fixed grads, chained via one grad leaf ---
     import optax
-    grads = jax.jit(jax.grad(
-        lambda p: fwd_body(p, batch["image"])))(params)
-    jax.block_until_ready(jax.tree.leaves(grads)[0])
     opt_state = tx.init(params)
-    gleaves, gtreedef = jax.tree.flatten(grads)
+    d_opt = None
+    if "opt" in stages:
+        grads = jax.jit(jax.grad(
+            lambda p: fwd_body(p, batch["image"])))(params)
+        jax.block_until_ready(jax.tree.leaves(grads)[0])
+        gleaves, gtreedef = jax.tree.flatten(grads)
 
-    def opt_body(leaf0):
-        g = jax.tree.unflatten(gtreedef, [leaf0] + gleaves[1:])
-        updates, _ = tx.update(g, opt_state, params)
-        newp = optax.apply_updates(params, updates)
-        d = cfg.train.ema_decay
-        if d > 0:
-            newp = jax.tree.map(lambda e, q: e * d + q * (1.0 - d),
-                                params, newp)
-        return jax.tree.leaves(newp)[0]
+        def opt_body(leaf0):
+            g = jax.tree.unflatten(gtreedef, [leaf0] + gleaves[1:])
+            updates, _ = tx.update(g, opt_state, params)
+            newp = optax.apply_updates(params, updates)
+            d = cfg.train.ema_decay
+            if d > 0:
+                newp = jax.tree.map(lambda e, q: e * d + q * (1.0 - d),
+                                    params, newp)
+            return jax.tree.leaves(newp)[0]
 
-    d_opt = device_latency_ms(opt_body, gleaves[0], iters=args.iters)
+        d_opt = device_latency_ms(opt_body, gleaves[0], iters=args.iters)
+        progress(f"opt_ema_only {d_opt:.2f} ms")
 
     # ---- the WHOLE step as a chained stateless body: the device-honest
     # config-3 number (the host-timed full_step rows above carry the
@@ -183,28 +222,36 @@ def main(argv=None):
                                 params, newp)
         return total + optax.global_norm(g) + jax.tree.leaves(newp)[0].sum()
 
-    d_full = device_latency_ms(
-        full_body, batch["keypoints"], batch["visible"], batch["bboxes"],
-        batch["valid"], batch["image"], iters=max(4, args.iters // 2))
+    d_full = None
+    if "full_body" in stages:
+        progress("timing full_body")
+        d_full = device_latency_ms(
+            full_body, batch["keypoints"], batch["visible"],
+            batch["bboxes"], batch["valid"], batch["image"],
+            iters=max(4, args.iters // 2))
+        progress(f"full_body {d_full:.2f} ms")
 
+    r3 = lambda v: None if v is None else round(v, 3)  # noqa: E731
     out = {
         "config": cfg.name, "batch": args.batch,
         "backend": jax.default_backend(),
-        "full_step_ms": round(t_full, 3),
-        "full_step_images_per_sec": round(args.batch / t_full * 1e3, 1),
-        "no_augment_step_ms": round(t_noaug, 3),
+        "full_step_ms": r3(t_full),
+        "full_step_images_per_sec": (
+            round(args.batch / t_full * 1e3, 1) if t_full else None),
+        "no_augment_step_ms": r3(t_noaug),
         "device_ms": {
-            "augment_only": round(d_aug, 3),
-            "encode_only": round(d_enc, 3),
-            "fwd_only": round(d_fwd, 3),
-            "fwdbwd_only": round(d_fwdbwd, 3),
-            "opt_ema_only": round(d_opt, 3),
-            "full_body": round(d_full, 3),
+            "augment_only": r3(d_aug),
+            "encode_only": r3(d_enc),
+            "fwd_only": r3(d_fwd),
+            "fwdbwd_only": r3(d_fwdbwd),
+            "opt_ema_only": r3(d_opt),
+            "full_body": r3(d_full),
         },
         "device_images_per_sec": round(args.batch / d_full * 1e3, 1)
-        if d_full > 0 else None,
+        if d_full else None,
         "residual_ms_optimizer_ema_bookkeeping": round(
-            t_full - d_aug - d_enc - d_fwdbwd, 3),
+            t_full - d_aug - d_enc - d_fwdbwd, 3)
+        if None not in (t_full, d_aug, d_enc, d_fwdbwd) else None,
         "note": "full/no_augment are per-dispatch host timings (include "
                 "~1-2 ms tunnel floor on this rig); device_ms rows are "
                 "chained-slope device-only",
