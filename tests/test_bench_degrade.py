@@ -57,3 +57,63 @@ def test_wait_for_backend_respects_budget(monkeypatch):
         assert time.perf_counter() - t0 < 30
     finally:
         sys.path.remove(REPO)
+
+
+class _FakeCompleted:
+    def __init__(self, stdout, rc=0):
+        self.stdout = stdout
+        self.returncode = rc
+
+
+def test_bench_hang_watchdog_emits_error_json(monkeypatch, capsys):
+    # 2026-08-20 failure mode: backend probe succeeds, then the warmup
+    # dispatch hangs forever (RPC died silently). The measurement runs in a
+    # bounded subprocess; two timeouts must still yield ONE JSON line.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        calls = []
+
+        def fake_run(*a, **kw):
+            calls.append(1)
+            raise subprocess.TimeoutExpired(cmd="bench", timeout=kw["timeout"])
+
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda: True)
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert len(calls) == 2  # one retry
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert rec["value"] == 0.0
+        assert "tpu_hang" in rec["error"]
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_bench_hang_then_retry_success(monkeypatch, capsys):
+    # A transient hang on attempt 1 must not cost the headline: attempt 2's
+    # real measurement line is forwarded verbatim.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        good = json.dumps({"metric": "inference_images_per_sec_chip",
+                           "value": 9000.0, "unit": "images/sec",
+                           "vs_baseline": 18.0})
+        attempts = []
+
+        def fake_run(*a, **kw):
+            attempts.append(1)
+            if len(attempts) == 1:
+                raise subprocess.TimeoutExpired(cmd="bench",
+                                                timeout=kw["timeout"])
+            return _FakeCompleted("noise\n" + good + "\n")
+
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda: True)
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert len(lines) == 1
+        assert json.loads(lines[0])["value"] == 9000.0
+    finally:
+        sys.path.remove(REPO)
