@@ -60,8 +60,9 @@ def test_wait_for_backend_respects_budget(monkeypatch):
 
 
 class _FakeCompleted:
-    def __init__(self, stdout, rc=0):
+    def __init__(self, stdout, rc=0, stderr=""):
         self.stdout = stdout
+        self.stderr = stderr
         self.returncode = rc
 
 
@@ -78,7 +79,7 @@ def test_bench_hang_watchdog_emits_error_json(monkeypatch, capsys):
             calls.append(1)
             raise subprocess.TimeoutExpired(cmd="bench", timeout=kw["timeout"])
 
-        monkeypatch.setattr(bench, "_wait_for_backend", lambda: True)
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda *a: True)
         monkeypatch.setattr(bench.subprocess, "run", fake_run)
         bench.main()
         lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
@@ -109,11 +110,113 @@ def test_bench_hang_then_retry_success(monkeypatch, capsys):
                                                 timeout=kw["timeout"])
             return _FakeCompleted("noise\n" + good + "\n")
 
-        monkeypatch.setattr(bench, "_wait_for_backend", lambda: True)
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda *a: True)
         monkeypatch.setattr(bench.subprocess, "run", fake_run)
         bench.main()
         lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
         assert len(lines) == 1
         assert json.loads(lines[0])["value"] == 9000.0
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_bench_salvages_result_from_hung_childs_stdout(monkeypatch, capsys):
+    # ADVICE r4 (medium): a child that prints the success JSON and THEN
+    # hangs on interpreter exit (non-daemon RPC threads on a dead tunnel)
+    # must not lose the measurement — the watchdog handler scans the
+    # partial stdout (bytes, per TimeoutExpired semantics) and forwards it.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        good = json.dumps({"metric": "inference_images_per_sec_chip",
+                           "value": 8800.0, "unit": "images/sec",
+                           "vs_baseline": 17.6})
+        calls = []
+
+        def fake_run(*a, **kw):
+            calls.append(1)
+            raise subprocess.TimeoutExpired(
+                cmd="bench", timeout=kw["timeout"],
+                output=("warmup\n" + good + "\n").encode())
+
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda *a: True)
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert len(calls) == 1  # salvaged on the first attempt, no retry
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert rec["value"] == 8800.0
+        assert "watchdog_note" in rec
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_bench_no_json_error_carries_stderr_tail(monkeypatch, capsys):
+    # ADVICE r4 (low): a child that crashes without a JSON line must
+    # forward a stderr tail so the traceback is not unrecoverable.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        def fake_run(*a, **kw):
+            return _FakeCompleted("", rc=1,
+                                  stderr="Traceback...\nValueError: boom\n")
+
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda *a: True)
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert "ValueError: boom" in rec["error"]
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_bench_malformed_json_line_not_forwarded(monkeypatch, capsys):
+    # ADVICE r4 (low): only a line that PARSES as a JSON object with a
+    # 'metric' key may be forwarded to the driver.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        def fake_run(*a, **kw):
+            return _FakeCompleted('{"metric": oops not json\n', rc=0)
+
+        monkeypatch.setattr(bench, "_wait_for_backend", lambda *a: True)
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])  # must be well-formed despite the child
+        assert "error" in rec
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_bench_reprobes_backend_before_retry(monkeypatch, capsys):
+    # ADVICE r4 (low): if the relay dies mid-run, the retry must fail fast
+    # on a short re-probe instead of burning a second full watchdog window.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+        probes = []
+
+        def fake_wait(budget=None):
+            probes.append(budget)
+            return budget is None  # initial probe OK, inter-attempt fails
+
+        def fake_run(*a, **kw):
+            raise subprocess.TimeoutExpired(cmd="bench", timeout=kw["timeout"])
+
+        monkeypatch.setattr(bench, "_wait_for_backend", fake_wait)
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        bench.main()
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert probes == [None, 120.0]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert "backend lost" in rec["error"]
     finally:
         sys.path.remove(REPO)
