@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="torchvision-format ResNet .pth to initialize the "
                         "backbone from (the reference starts from ImageNet "
                         "resnet18 weights)")
+    p.add_argument("--init-npz", default=None, metavar="PATH",
+                   help="fine-tune from a committed inference snapshot "
+                        "(utils/params_io .npz): params+BN loaded, "
+                        "optimizer/schedule fresh")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="PATH=VALUE",
                    help="generic dotted-path config override, applied after "
@@ -162,7 +166,8 @@ def main(argv=None):
     augment = False if args.overfit else None
     trainer = Trainer(cfg, batches, val_dataset=val_ds, logdir=args.log_dir,
                       augment=augment, pretrained=args.pretrained,
-                      device_cache=cache if use_cache else None)
+                      device_cache=cache if use_cache else None,
+                      init_npz=args.init_npz)
     try:
         final = trainer.run()
         print("final:", {k: round(v, 4) for k, v in final.items()})

@@ -330,6 +330,20 @@ def coco_r18_384() -> Config:
     )
 
 
+def coco_r18_384_crowded() -> Config:
+    """Crowded-scene operating point (VERDICT r4 directive #5) — the r4
+    crowding study's conclusion productized: nms=0.6 recovers the parser
+    ceiling for every ≥2-person protocol (true neighbors overlap, so the
+    1-person-optimal nms=0.3 over-suppresses), det 0.02 is the study's
+    best point at every protocol (artifacts/crowding_study_r4.json).
+    Model shapes are identical to coco_r18_384 — checkpoints interchange."""
+    base = coco_r18_384()
+    return dataclasses.replace(
+        base, name="coco_r18_384_crowded",
+        model=dataclasses.replace(base.model, detection_thresh=0.02,
+                                  nms_thresh=0.6))
+
+
 def mpii_r50_384() -> Config:
     """ResNet-50 bottleneck variant (the reference lineage ships
     resnet18/34/50 backbones — SURVEY.md §2.1 Backbone row)."""
@@ -362,6 +376,7 @@ _REGISTRY = {
     "mpii_r18_384": mpii_r18_384,
     "mpii_r50_384": mpii_r50_384,
     "coco_r18_384": coco_r18_384,
+    "coco_r18_384_crowded": coco_r18_384_crowded,
     "mpii_r18_224_fast": mpii_r18_224_fast,
     "tiny_test": tiny_test,
 }

@@ -29,12 +29,18 @@ class Trainer:
                  use_mesh: bool = True,
                  augment: Optional[bool] = None,
                  pretrained: Optional[str] = None,
-                 device_cache=None):
+                 device_cache=None,
+                 init_npz: Optional[str] = None):
         """``device_cache``: a data/device_cache.DeviceCache. Combined
         with cfg.train.steps_per_call > 1 it enables the device-resident
         loop — K SGD steps per dispatch via lax.scan over index blocks,
         erasing the per-dispatch host round trip (train/steps.py
-        make_multi_train_step)."""
+        make_multi_train_step).
+
+        ``init_npz``: committed inference snapshot (utils/params_io) to
+        fine-tune from — params/BN loaded, optimizer/schedule fresh. A
+        later resume from this run's own checkpoint dir still supersedes
+        it (restart safety)."""
         self.cfg = cfg
         self.batches = train_batches
         self.val_dataset = val_dataset
@@ -56,6 +62,11 @@ class Trainer:
             self.mesh = None
         self.graphdef, state, self.tx = st.create_train_state(
             cfg, pretrained=pretrained)
+        if init_npz:
+            from ppn_tpu.utils.params_io import load_npz_into_train_state
+
+            state = load_npz_into_train_state(init_npz, state)
+            print(f"fine-tune init from {init_npz}")
         if self.mesh is not None:
             state = replicate(self.mesh, state)
         self.state = state

@@ -39,19 +39,10 @@ def save_inference_npz(path: str, state, float_dtype=np.float16) -> int:
     return len(leaves)
 
 
-def load_inference_npz(cfg, path: str):
-    """(graphdef, state) with the snapshot's params in the params slot
-    (ema_params=None — eval_params() then uses them directly). Leaf order
-    and shapes are validated against a fresh template built from ``cfg``;
-    float leaves are upcast back to the template dtype so jitted
-    signatures match the live pipeline's."""
-    from ppn_tpu.train import steps as st
-
-    ecfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.0))
-    graphdef, state, _ = st.create_train_state(ecfg)
-    tree = {"params": state.params, "rest": state.rest}
-    tmpl_leaves, treedef = jax.tree.flatten(tree)
+def _load_leaves(path: str, tmpl_leaves):
+    """Snapshot leaves validated (count, shapes) against a template list;
+    float leaves upcast back to the template dtype so jitted signatures
+    match the live pipeline's."""
     with np.load(path) as z:
         names = sorted(z.files)
         if len(names) != len(tmpl_leaves):
@@ -66,7 +57,35 @@ def load_inference_npz(cfg, path: str):
                     f"{path}:{name} shape {a.shape} != expected "
                     f"{tmpl.shape}")
             new.append(np.asarray(a, dtype=np.asarray(tmpl).dtype))
-    tree = jax.tree.unflatten(treedef, new)
+    return new
+
+
+def load_inference_npz(cfg, path: str):
+    """(graphdef, state) with the snapshot's params in the params slot
+    (ema_params=None — eval_params() then uses them directly)."""
+    from ppn_tpu.train import steps as st
+
+    ecfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.0))
+    graphdef, state, _ = st.create_train_state(ecfg)
+    tree = {"params": state.params, "rest": state.rest}
+    tmpl_leaves, treedef = jax.tree.flatten(tree)
+    tree = jax.tree.unflatten(treedef, _load_leaves(path, tmpl_leaves))
     state = dataclasses.replace(state, params=tree["params"],
                                 rest=tree["rest"])
     return graphdef, state
+
+
+def load_npz_into_train_state(path: str, state):
+    """Fine-tune initialization: replace a fresh TrainState's (params,
+    rest) with a committed snapshot's leaves. EMA (when tracked) is seeded
+    from the loaded params; optimizer moments, step counter, and rng stay
+    fresh — a fine-tune restarts the schedule (VERDICT r4 directive #1:
+    fine-tune the crowding-matched hero from the committed snapshot)."""
+    tree = {"params": state.params, "rest": state.rest}
+    tmpl_leaves, treedef = jax.tree.flatten(tree)
+    tree = jax.tree.unflatten(treedef, _load_leaves(path, tmpl_leaves))
+    ema = (None if state.ema_params is None
+           else jax.tree.map(np.copy, tree["params"]))
+    return dataclasses.replace(state, params=tree["params"],
+                               rest=tree["rest"], ema_params=ema)
