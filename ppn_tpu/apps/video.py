@@ -32,8 +32,14 @@ from ppn_tpu.configs import get_config, resolve_config
 from ppn_tpu.train import steps as st
 
 
-def make_video_pipeline(cfg, graphdef):
-    """Jitted uint8 frame (H0, W0, 3) → parsed People (on-device resize)."""
+def make_video_pipeline(cfg, graphdef, pre_resized: bool = False):
+    """Jitted uint8 frame (H0, W0, 3) → parsed People (on-device resize).
+
+    ``pre_resized=True``: the frame arrives already at ``insize`` (host
+    pre-upload downscale, ``--pre-resize``) and the device resize is
+    skipped — on a remote-tunneled rig this cuts the per-frame upload
+    ~6.4× (720p 2.76 MB → 384² 0.44 MB), which is the difference between
+    a link-bound and a source-bound stream (VERDICT r4 directive #6)."""
     from flax import nnx
 
     from ppn_tpu.ops import postprocess as post
@@ -42,7 +48,8 @@ def make_video_pipeline(cfg, graphdef):
     @jax.jit
     def run(state, frame_u8):
         img = frame_u8.astype(np.float32) / 255.0
-        img = resize_bilinear(img, cfg.model.insize)
+        if not pre_resized:
+            img = resize_bilinear(img, cfg.model.insize)
         model = nnx.merge(graphdef, st.eval_params(state), state.rest)
         model.eval()
         fm = model(img[None])
@@ -51,6 +58,19 @@ def make_video_pipeline(cfg, graphdef):
         return jax.tree.map(lambda x: x[0], people)
 
     return run
+
+
+def host_resize(frame_u8: np.ndarray, insize) -> np.ndarray:
+    """Host-side uint8 bilinear downscale to the model input (PIL — C
+    speed, a few ms/frame on one core). Numerics differ from the device
+    ``resize_bilinear`` in the last bits (different bilinear taps); the
+    trade is documented at the ``--pre-resize`` flag."""
+    from PIL import Image
+
+    if frame_u8.shape[:2] == tuple(insize):
+        return frame_u8
+    return np.asarray(Image.fromarray(frame_u8).resize(
+        (insize[1], insize[0]), Image.BILINEAR))
 
 
 def synthetic_frames(n: int, size=(720, 1280), seed: int = 0,
@@ -187,6 +207,13 @@ def main(argv=None):
     p.add_argument("--no-overlap", action="store_true",
                    help="disable double buffering (dispatch frame N+1 "
                         "before fetching frame N's poses)")
+    p.add_argument("--pre-resize", action="store_true",
+                   help="downscale each frame to the model input on the "
+                        "host before upload (6.4× less host->device "
+                        "traffic for 720p->384²; the resize runs in the "
+                        "capture thread, overlapping device work). Host "
+                        "PIL bilinear instead of the on-device resize — "
+                        "last-bit numeric differences")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="PATH=VALUE",
                    help="dotted-path config override (repeatable)")
@@ -201,7 +228,8 @@ def main(argv=None):
     from ppn_tpu.utils.draw import draw_people
 
     graphdef, state = load_state(cfg, args.ckpt_dir)
-    pipeline = make_video_pipeline(cfg, graphdef)
+    pipeline = make_video_pipeline(cfg, graphdef,
+                                   pre_resized=args.pre_resize)
 
     import os
 
@@ -211,6 +239,10 @@ def main(argv=None):
         frames = jpeg_frames(args.source, args.frames, cfg.model.insize)
     else:
         frames = capture_frames(args.source)
+    if args.pre_resize:
+        # Runs in the producer (capture) thread: the downscale overlaps
+        # device work and the slot/queue carry the small frame onward.
+        frames = (host_resize(f, cfg.model.insize) for f in frames)
 
     # Compile the frame pipeline BEFORE the capture thread starts: the
     # latest-frame slot below drops stale frames by design, so a cold

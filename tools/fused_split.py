@@ -105,6 +105,9 @@ def main(argv=None):
     results["kernel_delta_ms"] = round(
         results["fused_ms"] - results["feature_plus_views_ms"], 3)
     print(json.dumps(results))
+    from tools._artifact import write_artifact
+
+    write_artifact(results, "fused_split", getattr(args, "out", None))
 
 
 if __name__ == "__main__":

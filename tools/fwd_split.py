@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--config", default="mpii_r18_384")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--out", default=None,
+                   help="artifact path (default artifacts/fwd_split_latest"
+                        ".json — VERDICT r4 directive #9)")
     args = p.parse_args(argv)
 
     import jax
@@ -162,6 +165,9 @@ def main(argv=None):
           f"s2d 4x4/s1 C=12: {res['s2d_ms']} ms | "
           f"max|diff|={diff:.3e}", flush=True)
     print(json.dumps(res))
+    from tools._artifact import write_artifact
+
+    write_artifact(res, "fwd_split", args.out)
 
 
 if __name__ == "__main__":

@@ -158,6 +158,10 @@ def main(argv=None):
         "views_ms": results["views"],
         "kernel_ms": results["kernel"],
     }))
+    from tools._artifact import write_artifact
+
+    write_artifact(dict(results, batch=args.batch), "packed_split",
+                   getattr(args, "out", None))
 
 
 if __name__ == "__main__":

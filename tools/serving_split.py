@@ -97,7 +97,7 @@ def main(argv=None):
     d_pp = device_latency_ms(pp_body, fm, iters=16)
     d_full = device_latency_ms(full_body, params, rest, img, iters=8)
 
-    print(json.dumps({
+    rec = {
         "batch": args.batch,
         "forward_ms": round(t_fwd * 1e3, 3),
         "postprocess_ms": round(t_pp * 1e3, 3),
@@ -109,7 +109,11 @@ def main(argv=None):
         "device_full_ms": round(d_full, 3),
         "device_images_per_sec": round(args.batch / d_full * 1e3, 1),
         "includes_tunnel_rtt_in_ms_fields": True,
-    }))
+    }
+    print(json.dumps(rec))
+    from tools._artifact import write_artifact
+
+    write_artifact(rec, "serving_split", getattr(args, "out", None))
 
 
 if __name__ == "__main__":

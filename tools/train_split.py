@@ -257,6 +257,9 @@ def main(argv=None):
                 "chained-slope device-only",
     }
     print(json.dumps(out))
+    from tools._artifact import write_artifact
+
+    write_artifact(out, "train_split", getattr(args, "out", None))
     return 0
 
 

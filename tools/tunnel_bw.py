@@ -1,0 +1,119 @@
+"""Measure the rig's host↔device link bandwidth with a timed transfer
+sweep (VERDICT r4 directive #6 / weak #3).
+
+Round 4 claimed the 21.6 fps video stream was upload-bound on the remote
+TPU tunnel by arithmetic (30 fps × 2.76 MB/frame ≈ 83 MB/s vs "~25-30
+MB/s documented") — but the documented number is the FETCH bandwidth and
+the upload bound was never measured. This tool pins both directions:
+
+* upload: K distinct same-shape uint8 buffers pushed via ``device_put``,
+  then ONE scalar fetched through a jitted reduce over the last buffer —
+  the only reliable sync on this rig (CLAUDE.md: block_until_ready can
+  return before the tunneled chain drains). Slope over K cancels the
+  fixed sync RTT.
+* download: ``device_get`` of a device-resident array (the known-slow
+  fetch path).
+* dispatch floor: the same protocol on a 4-byte array.
+
+Writes artifacts/tunnel_bw_latest.json (directive #9).
+Run ON THE TUNNELED RIG (no JAX_PLATFORMS override), one TPU job at a
+time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes-mb", default="0.44,2.76,8,32",
+                   help="payload sizes; 0.44=384² uint8 frame, "
+                        "2.76=720p uint8 frame")
+    p.add_argument("--reps", type=int, default=8)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x, dtype=jnp.int32)
+
+    def sync(arr):
+        return int(jax.device_get(checksum(arr)))
+
+    rng = np.random.default_rng(0)
+    rec = {"device": str(dev), "points": []}
+
+    # dispatch floor: tiny payload, same protocol
+    tiny = rng.integers(0, 255, (4,), dtype=np.uint8)
+    a = jax.device_put(tiny, dev)
+    sync(a)  # compile checksum for this shape
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        a = jax.device_put(tiny, dev)
+        sync(a)
+    rec["dispatch_rtt_ms"] = round(
+        (time.perf_counter() - t0) / args.reps * 1e3, 2)
+
+    for size_mb in [float(s) for s in args.sizes_mb.split(",")]:
+        nbytes = int(size_mb * 1e6)
+        bufs = [rng.integers(0, 255, (nbytes,), dtype=np.uint8)
+                for _ in range(args.reps)]
+        # warm: shape's transfer + checksum compile out of the timed region
+        arr = jax.device_put(bufs[0], dev)
+        sync(arr)
+
+        # upload: K pushes, one sync — slope cancels the fixed RTT
+        t0 = time.perf_counter()
+        arrs = [jax.device_put(b, dev) for b in bufs]
+        sync(arrs[-1])
+        t_up = time.perf_counter() - t0
+        # chained sync variant (every push synced): upper bound per-push
+        t0 = time.perf_counter()
+        for b in bufs[:4]:
+            sync(jax.device_put(b, dev))
+        t_up_synced = (time.perf_counter() - t0) / 4
+
+        # download: fetch the full buffer back
+        t0 = time.perf_counter()
+        for a in arrs[:4]:
+            np.asarray(jax.device_get(a))
+        t_down = (time.perf_counter() - t0) / 4
+
+        rec["points"].append({
+            "size_mb": size_mb,
+            "upload_mb_s": round(nbytes * args.reps / t_up / 1e6, 1),
+            "upload_synced_mb_s": round(nbytes / t_up_synced / 1e6, 1),
+            "download_mb_s": round(nbytes / t_down / 1e6, 1),
+        })
+        print(rec["points"][-1], flush=True)
+        del arrs
+
+    # headline: what a 30 fps 720p stream needs vs what the link gives
+    up = max(pt["upload_mb_s"] for pt in rec["points"])
+    rec["max_upload_mb_s"] = up
+    rec["fps_720p_bound"] = round(up / 2.76, 1)
+    rec["fps_384_bound"] = round(up / 0.44, 1)
+    rec["note"] = ("fps_*_bound = max sustained source rate the upload "
+                   "path alone allows at that frame size (pipelined "
+                   "pushes, one sync)")
+
+    from tools._artifact import write_artifact
+
+    write_artifact(rec, "tunnel_bw", args.out)
+
+
+if __name__ == "__main__":
+    main()
