@@ -16,6 +16,14 @@ import dataclasses
 from ppn_tpu.configs import get_config
 
 
+def _persons_arg(s: str):
+    """--num-persons value: int, or 'LO-HI' crowding range."""
+    if "-" in s[1:]:
+        lo, hi = s[1:].split("-", 1)
+        return (int(s[0] + lo), int(hi))
+    return int(s)
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train a Pose Proposal Network")
     p.add_argument("--config", default="mpii_r18_384")
@@ -36,9 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--overfit", type=int, default=None, metavar="N",
                    help="restrict training to N fixed samples "
                         "(the SURVEY.md §7.4 minimum slice)")
-    p.add_argument("--num-persons", type=int, default=None,
-                   help="synthetic data: fixed persons per image "
-                        "(default: random 1..max_persons)")
+    p.add_argument("--num-persons", type=_persons_arg, default=None,
+                   help="synthetic data: fixed persons per image, 0 for "
+                        "random 1..max_persons, or 'LO-HI' for a uniform "
+                        "crowding range (e.g. 3-8)")
     p.add_argument("--train-size", type=int, default=1024,
                    help="synthetic data: number of distinct training images")
     p.add_argument("--eval-every", type=int, default=None)

@@ -25,7 +25,7 @@ def random_people(
     rng: np.random.Generator,
     cfg: PPNConfig,
     max_persons: int,
-    num_persons: int | None = None,
+    num_persons=None,
 ) -> Dict[str, np.ndarray]:
     """Sample GT for one image: skeleton-aware random stick figures.
 
@@ -33,6 +33,12 @@ def random_people(
     sizes, so limb endpoints stay within the PPN local window (the locality
     assumption real anatomy satisfies — uniformly scattered joints would
     make many limbs unparseable by construction).
+
+    ``num_persons``: fixed int, ``None`` (uniform 1..max_persons), or an
+    ``(lo, hi)`` pair for a uniform crowding range — the crowding-matched
+    training distributions of VERDICT r4 directive #1 (e.g. ``(3, 8)``
+    focuses the model on the crowded regime without dropping moderate
+    scenes entirely).
 
     Returns the (keypoints, visible, bboxes, valid) contract of
     ops/encode.py, padded to `max_persons` slots.
@@ -42,6 +48,9 @@ def random_people(
     P = max_persons
     if num_persons is None:
         num_persons = int(rng.integers(1, P + 1))
+    elif isinstance(num_persons, (tuple, list)):
+        lo, hi = num_persons
+        num_persons = int(rng.integers(lo, hi + 1))
     num_persons = min(num_persons, P)
 
     keypoints = np.zeros((P, K, 2), np.float32)

@@ -113,6 +113,22 @@ def main():
     print("packed_bf16_q512: ok="
           f"{results['cases']['mpii_r18_384/packed_bf16_q512']['ok']}")
 
+    # COCO wide blocks at the crowded operating point (VERDICT r4
+    # directive #5): K=17/L=18 changes the packing geometry vs MPII, and
+    # the crowded preset moves the decision thresholds (det 0.02 /
+    # nms 0.6) — decisions must still be identical at q=512.
+    ccfg = get_config("coco_r18_384_crowded").model
+    rng = np.random.default_rng(3)
+    fmc = rng.normal(0, 2, (33, *ccfg.outsize, ccfg.num_channels)).astype(
+        np.float32)
+    fmc = np.asarray(jax.numpy.asarray(fmc, jax.numpy.bfloat16).astype(
+        jax.numpy.float32))
+    results["cases"]["coco_r18_384_crowded/packed_bf16_q512"] = compare(
+        ccfg, jax.device_put(fmc), interpret, packed=True, exact_bf16=True,
+        q=512)
+    print("coco_crowded packed_bf16_q512: ok="
+          f"{results['cases']['coco_r18_384_crowded/packed_bf16_q512']['ok']}")
+
     # transposed-head serving path (nn/model.py packed_feature): the head
     # GEMM must be bitwise the 1x1 conv, and the fused packed decisions
     # must match the XLA oracle on the standard forward's feature map
