@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--stages", default="stem,s1,s2,s3,s4,head")
     p.add_argument("--fwd-only", action="store_true",
                    help="skip the vjp probes (fwd rows only)")
+    p.add_argument("--skip-fwd", action="store_true",
+                   help="fwd+bwd rows only — halves the remote-compile "
+                        "count (each probe compiles 2 chained programs); "
+                        "use for the batch-sweep anomaly hunt, then rerun "
+                        "the culprit stage without it")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -111,7 +116,8 @@ def main(argv=None):
             def fwd_body(x, f=f):
                 return f(merged(params), x)
 
-            d_f = device_latency_ms(fwd_body, x, iters=args.iters)
+            d_f = (None if args.skip_fwd
+                   else device_latency_ms(fwd_body, x, iters=args.iters))
 
             if args.fwd_only:
                 row["stages"][name] = {"fwd_ms": round(d_f, 3)}
@@ -127,17 +133,23 @@ def main(argv=None):
 
             d_fb = device_latency_ms(fwdbwd_body, x, iters=args.iters)
             row["stages"][name] = {
-                "fwd_ms": round(d_f, 3),
                 "fwdbwd_ms": round(d_fb, 3),
-                "bwd_ms": round(d_fb - d_f, 3),
-                "bwd_over_fwd": round((d_fb - d_f) / d_f, 2) if d_f else None,
                 "ms_per_img_fwdbwd": round(d_fb / B, 4),
             }
-            total_f += d_f
+            if d_f is not None:
+                row["stages"][name].update({
+                    "fwd_ms": round(d_f, 3),
+                    "bwd_ms": round(d_fb - d_f, 3),
+                    "bwd_over_fwd": (round((d_fb - d_f) / d_f, 2)
+                                     if d_f else None),
+                })
+                total_f += d_f
             total_fb += d_fb
-            print(f"B={B} {name}: fwd {d_f:.3f} | fwd+bwd {d_fb:.3f} ms",
-                  flush=True)
-        row["sum_fwd_ms"] = round(total_f, 3)
+            print(f"B={B} {name}: fwd "
+                  f"{'-' if d_f is None else f'{d_f:.3f}'} | "
+                  f"fwd+bwd {d_fb:.3f} ms", flush=True)
+        if not args.skip_fwd:
+            row["sum_fwd_ms"] = round(total_f, 3)
         if not args.fwd_only:
             row["sum_fwdbwd_ms"] = round(total_fb, 3)
         rec["batches"].append(row)
