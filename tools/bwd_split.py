@@ -125,11 +125,34 @@ def main(argv=None):
                 print(f"B={B} {name}: fwd {d_f:.3f} ms", flush=True)
                 continue
 
-            def fwdbwd_body(x, f=f):
-                y, vjp = jax.vjp(
-                    lambda pp, xx: f(merged(pp), xx), params, x)
-                dp, dx = vjp(jnp.ones_like(y))
-                return dx
+            # Cotangent = y itself, NOT ones: a constant cotangent lets
+            # XLA fold whole backward chains (and with the forward output
+            # otherwise dead, delete the forward too — observed: the stem
+            # probe read 0.03 ms). y as cotangent keeps every stage's
+            # forward and backward live with realistic data flow.
+            # Return the FULL gradient tree: returning only dx (or one dp
+            # leaf) lets XLA dead-code every other gradient — the weight-
+            # grad convs are separate computations from the input-grad
+            # convs, and training needs them all. (Observed: a one-leaf
+            # return read 0.03 ms for the whole stem.)
+            if name == "stem":
+                # The image is DATA: real training never computes
+                # dL/d(input) for the first conv (XLA prunes it), and that
+                # input-gradient is a full-resolution transposed conv back
+                # to (B, H, W, 3) — ~16 ms of work the train step does not
+                # contain. Params-only VJP here; every later stage's dx
+                # genuinely flows in training and stays included.
+                def fwdbwd_body(x, f=f):
+                    y, vjp = jax.vjp(
+                        lambda pp: f(merged(pp), x), params)
+                    (dp,) = vjp(y)
+                    return dp
+            else:
+                def fwdbwd_body(x, f=f):
+                    y, vjp = jax.vjp(
+                        lambda pp, xx: f(merged(pp), xx), params, x)
+                    dp, dx = vjp(y)
+                    return dp, dx
 
             d_fb = device_latency_ms(fwdbwd_body, x, iters=args.iters)
             row["stages"][name] = {
